@@ -1,0 +1,29 @@
+"""genestrip_tpu — a TPU-native metagenomic k-mer classification engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of Genestrip
+(reference: pfeiferd/genestrip, Java): database generation from RefSeq/Genbank
+genomes for a selected tax-id set (canonical k-mer extraction + LCA-based
+pruning of unspecific k-mers), Kraken/KrakenUniq-style read classification with
+exact unique/total k-mer counting per tax id, bloom-index fastq filtering, and
+the same CSV / Kraken-style / filtered-fastq output formats.
+
+Layering (bottom-up), mirroring the reference's layer map (SURVEY.md §1):
+  utils/   — byte/DNA codecs, Java-format helpers          (ref: base io/util)
+  ops/     — device k-mer math: rolling windows, dust      (ref: core util/CGAT)
+  store/   — k-mer table in HBM + unique counting          (ref: core store/)
+  tax/     — taxonomy parse + flattened device arrays      (ref: core tax/)
+  io/      — fastq/fasta streaming + 2-bit packing         (ref: core fastq/fasta)
+  match/   — batched classification pipeline + reports     (ref: core match/)
+  make/    — goal/artifact engine (make-style DAG)         (ref: base make/)
+  goals/   — the pipeline: db build, match, filter, ...    (ref: core goals/)
+  parallel/— mesh sharding, psum merges, multi-host        (new, TPU-native)
+"""
+
+import jax
+
+# The k-mer key space is 2k bits (k <= 31 => up to 62 bits). Host code uses
+# uint64 freely; device code prefers uint32 hi/lo pairs (TPU-native), but u64
+# support must be on for the places where a single wide key is simplest.
+jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"

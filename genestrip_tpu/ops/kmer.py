@@ -1,0 +1,119 @@
+"""Vectorized canonical k-mer window computation.
+
+The reference rolls one k-mer per base in a scalar loop
+(ref: core util/CGATLongBuffer.java:131-216, match/FastqKMerMatcher.java:345-363).
+On TPU we compute all windows of a (batch of) sequence(s) at once: the straight
+and reverse-complement encodings of every window are sums of k shifted slices
+of the 2-bit code array — k vector ops instead of a scalar rolling loop, fully
+VPU-parallel and with no sequential dependence.
+
+A window's k-mer participates iff the window contains no non-CGAT base; this is
+exactly the reference's semantics, where scanning skips over bad bases and
+counts every window covering a bad base as INVALID
+(ref: match/FastqKMerMatcher.java:345-363,415-417).
+
+Device representation: 62-bit k-mers as (hi, lo) uint32 pairs — TPU-native
+32-bit lanes, no 64-bit emulation on the hot path. The split boundary is clean
+because every base contributes 2 bits at an even shift. Host/golden code uses
+plain uint64.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genestrip_tpu.utils.dna import BAD
+
+
+# ---------------------------------------------------------------------------
+# Host (numpy, uint64) — golden model + DB-build path
+# ---------------------------------------------------------------------------
+
+def window_kmers_np(codes: np.ndarray, k: int):
+    """All-window canonical k-mers of a 1-D code array (host side).
+
+    Returns (canonical uint64 [W], valid bool [W]) with W = max(L - k + 1, 0).
+    valid[i] is False iff window i contains a non-CGAT base.
+    """
+    L = len(codes)
+    W = max(L - k + 1, 0)
+    if W == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool)
+    c = codes.astype(np.uint64)
+    bad = codes > 3
+    straight = np.zeros(W, dtype=np.uint64)
+    reverse = np.zeros(W, dtype=np.uint64)
+    for j in range(k):
+        cj = c[j:j + W] & np.uint64(3)
+        straight |= cj << np.uint64(2 * (k - 1 - j))
+        reverse |= (cj ^ np.uint64(1)) << np.uint64(2 * j)
+    cc = np.zeros(L + 1, dtype=np.int64)
+    np.cumsum(bad, out=cc[1:])
+    valid = (cc[k:] - cc[:W]) == 0
+    return np.maximum(straight, reverse), valid
+
+
+def split_u64(x: np.ndarray):
+    """Split uint64 keys into (hi, lo) uint32 arrays."""
+    x = x.astype(np.uint64)
+    return (x >> np.uint64(32)).astype(np.uint32), (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+
+
+def merge_u64(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    return (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# Device (jax, uint32 pairs)
+# ---------------------------------------------------------------------------
+
+def window_kmers(codes: jax.Array, lengths: jax.Array, k: int):
+    """All-window canonical k-mers for a padded batch of sequences.
+
+    Args:
+      codes: [B, L] uint8 2-bit codes, BAD (255) for non-CGAT bases and padding.
+      lengths: [B] int32 true sequence lengths.
+      k: k-mer length (static, 1..31).
+
+    Returns:
+      hi, lo: [B, W] uint32 canonical k-mer halves (garbage where not clean).
+      clean:  [B, W] bool — window has no bad base.
+      exists: [B, W] bool — window lies within the read (i < len - k + 1).
+
+    A window that exists but is not clean is an INVALID window in the
+    reference's sense (counts as a read tax error and prints as an 'A' segment,
+    ref: match/FastqKMerMatcher.java:371-379,601-603).
+    """
+    B, L = codes.shape
+    W = L - k + 1
+    assert W >= 1, "padded length must be >= k"
+    c32 = codes.astype(jnp.uint32)
+    s_hi = jnp.zeros((B, W), jnp.uint32)
+    s_lo = jnp.zeros((B, W), jnp.uint32)
+    r_hi = jnp.zeros((B, W), jnp.uint32)
+    r_lo = jnp.zeros((B, W), jnp.uint32)
+    for j in range(k):
+        cj = c32[:, j:j + W] & jnp.uint32(3)
+        cr = cj ^ jnp.uint32(1)
+        s = 2 * (k - 1 - j)
+        r = 2 * j
+        if s >= 32:
+            s_hi = s_hi | (cj << (s - 32))
+        else:
+            s_lo = s_lo | (cj << s)
+        if r >= 32:
+            r_hi = r_hi | (cr << (r - 32))
+        else:
+            r_lo = r_lo | (cr << r)
+    # canonical = unsigned max of (straight, reverse) as 64-bit values
+    take_s = (s_hi > r_hi) | ((s_hi == r_hi) & (s_lo >= r_lo))
+    hi = jnp.where(take_s, s_hi, r_hi)
+    lo = jnp.where(take_s, s_lo, r_lo)
+    # validity: no bad base in window, window within read
+    bad = (codes > 3).astype(jnp.int32)
+    cc = jnp.cumsum(bad, axis=1)
+    cc = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), cc], axis=1)
+    clean = (cc[:, k:] - cc[:, :W]) == 0
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    exists = pos < (lengths[:, None] - (k - 1))
+    return hi, lo, clean, exists
