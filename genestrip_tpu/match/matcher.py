@@ -1,0 +1,251 @@
+"""Host orchestration of the batched matcher: streams reads, runs the device
+step, accumulates statistics, writes filtered fastq / Kraken-style output.
+
+Reference equivalent: core match/FastqKMerMatcher.java (runMatcher:181-235 +
+the producer/consumer engine of fastq/AbstractFastqReader.java). Threads and
+striped locks are replaced by batched device steps; per-read classified
+statistics are accumulated on the host in read order, which reproduces the
+reference's single-threaded (deterministic) accumulation exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from genestrip_tpu.io.reads import BatchPacker, ReadBatch, parse_reads
+from genestrip_tpu.io.streams import StreamingResource
+from genestrip_tpu.match.pipeline import (
+    LABEL_INVALID, LABEL_MISS, MatchConfig, match_step,
+)
+from genestrip_tpu.match.results import CountsPerTaxid, MatchingResult
+from genestrip_tpu.store.table import KmerTable
+from genestrip_tpu.tax.small import SmallTaxTree
+
+import jax.numpy as jnp
+
+
+class Matcher:
+    """Matches fastq/fasta resources against a database."""
+
+    def __init__(self, table: KmerTable, tree: SmallTaxTree, cfg: MatchConfig,
+                 db_md5: str = "", batch_size: int = 4096, max_kmer_res_counts: int = 0,
+                 write_all: bool = True):
+        self.table = table
+        self.tree = tree
+        self.db_md5 = db_md5
+        self.batch_size = batch_size
+        self.max_kmer_res_counts = max_kmer_res_counts
+        self.write_all = write_all
+        if cfg.threshold > 1:
+            raise NotImplementedError(
+                "minKMersForClass > 1 (threshold promotion) is not implemented yet")
+        self.cfg = cfg
+        T = len(tree)
+        self.n_nodes = T
+        # device-side constants
+        d = table.device_arrays()
+        self._keys_hi, self._keys_lo, self._vidx = d["hi"], d["lo"], d["vidx"]
+        self._n_table = d["n"]
+        self._node_of_value = jnp.asarray(tree.node_of_value(table))
+        self._tout = jnp.asarray(tree.tout)
+        self._anc = jnp.asarray(tree.ancestor_at_depth)
+        self.reset()
+
+    def reset(self):
+        T = self.n_nodes
+        N = self._n_table
+        self.kmers = np.zeros(T, np.int64)
+        self.contigs = np.zeros(T, np.int64)
+        self.contig_sq = np.zeros(T, np.int64)
+        self.max_contig = np.zeros(T, np.int64)
+        self.max_contig_desc = [b""] * T
+        self.reads1 = np.zeros(T, np.int64)
+        self.reads = np.zeros(T, np.int64)
+        self.reads_kmers = np.zeros(T, np.int64)
+        self.reads_bps = np.zeros(T, np.int64)
+        self.error_sum = np.zeros(T, np.float64)
+        self.error_sq_sum = np.zeros(T, np.float64)
+        self.class_error_sum = np.zeros(T, np.float64)
+        self.class_error_sq_sum = np.zeros(T, np.float64)
+        self.total_reads = 0
+        self.total_kmers = 0
+        self.total_bps = 0
+        self._seen = jnp.zeros(N + 1, jnp.uint8)
+        self._counts = (jnp.zeros(N + 1, jnp.int32)
+                        if self.cfg.with_counts else jnp.zeros(1, jnp.int32))
+
+    # ------------------------------------------------------------------
+
+    def run(self, resources, filtered_out=None, kraken_out=None):
+        """Match all resources; returns a MatchingResult.
+
+        filtered_out/kraken_out are writable binary streams or None.
+        """
+        for res in resources:
+            if not isinstance(res, StreamingResource):
+                res = StreamingResource(res)
+            fasta = res.type_hint == "fasta"
+            packer = BatchPacker(self.batch_size)
+            with res.open() as stream:
+                for batch in parse_reads(stream, packer, fasta):
+                    self._process_batch(batch, filtered_out, kraken_out)
+        return self._build_result()
+
+    def _process_batch(self, batch: ReadBatch, filtered_out, kraken_out):
+        cfg = self.cfg
+        need_labels = (kraken_out is not None) or cfg.return_labels
+        if need_labels != cfg.return_labels:
+            cfg = MatchConfig(**{**cfg.__dict__, "return_labels": need_labels})
+        # Pad partial batches to the fixed batch size (zero-length rows are
+        # inert) so XLA compiles one shape per length bucket, not per batch.
+        n_real = batch.n
+        codes, lengths = batch.codes, batch.lengths
+        if n_real < self.batch_size:
+            pad = self.batch_size - n_real
+            codes = np.concatenate(
+                [codes, np.full((pad, codes.shape[1]), 255, np.uint8)])
+            lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+        out = match_step(cfg, self._n_table, self.n_nodes,
+                         self._keys_hi, self._keys_lo, self._vidx,
+                         self._node_of_value, self._tout, self._anc,
+                         jnp.asarray(codes), jnp.asarray(lengths),
+                         self._seen, self._counts)
+        self._seen = out["seen"]
+        self._counts = out["counts"]
+
+        W = codes.shape[1] - cfg.k + 1
+        n_win = np.asarray(out["n_win"])
+        found = np.asarray(out["found"])
+
+        # totals (ref: AbstractFastqReader.doReadFastq:343-349)
+        self.total_reads += n_real
+        self.total_kmers += int(n_win.sum())
+        self.total_bps += int(batch.lengths.sum())
+
+        # per-node window/contig stats
+        self.kmers += np.asarray(out["kmers"], np.int64)
+        self.contigs += np.asarray(out["contigs"], np.int64)
+        self.contig_sq += np.asarray(out["contig_sq"]).astype(np.int64)
+        self.reads1 += np.asarray(out["reads1"], np.int64)
+        bmax = np.asarray(out["max_contig"], np.int64)
+        benc = np.asarray(out["argmax_enc"])
+        improved = bmax > self.max_contig
+        for t in np.nonzero(improved)[0]:
+            self.max_contig[t] = bmax[t]
+            b = int(benc[t]) // W
+            desc = batch.descriptors[b]
+            # descriptor up to the first space, without the leading '@'
+            # (ref: FastqKMerMatcher.java:404-408)
+            sp = desc.find(b" ")
+            self.max_contig_desc[t] = desc[1:sp if sp >= 0 else len(desc)]
+
+        # per-read classified stats, in read order (ref :508-530)
+        if cfg.classify:
+            cls = np.asarray(out["class_node"])
+            ok = np.asarray(out["stats_ok"]) & (cls >= 0)
+            idx = np.nonzero(ok)[0]
+            if len(idx):
+                nodes = cls[idx]
+                nw = n_win[idx].astype(np.float64)
+                err = np.asarray(out["tax_err"])[idx].astype(np.float64) / nw
+                rk = np.asarray(out["read_kmers"])[idx].astype(np.int64)
+                cerr = (n_win[idx] - rk) / nw
+                np.add.at(self.reads, nodes, 1)
+                np.add.at(self.reads_kmers, nodes, rk)
+                np.add.at(self.reads_bps, nodes, batch.lengths[idx].astype(np.int64))
+                np.add.at(self.error_sum, nodes, err)
+                np.add.at(self.error_sq_sum, nodes, err * err)
+                np.add.at(self.class_error_sum, nodes, cerr)
+                np.add.at(self.class_error_sq_sum, nodes, cerr * cerr)
+
+        # outputs
+        if filtered_out is not None and found.any():
+            probs = batch.probs
+            for b in np.nonzero(found)[0]:
+                filtered_out.write(batch.descriptors[b])
+                filtered_out.write(b"\n")
+                filtered_out.write(batch.seqs[b])
+                filtered_out.write(b"\n+\n")
+                if probs is not None and probs[b]:
+                    filtered_out.write(probs[b])
+                else:
+                    filtered_out.write(b"~" * len(batch.seqs[b]))
+                filtered_out.write(b"\n")
+
+        if kraken_out is not None:
+            self._write_kraken(batch, np.asarray(out["label"]), n_win,
+                               np.asarray(out["class_node"]), kraken_out)
+
+    def _write_kraken(self, batch: ReadBatch, labels, n_win, class_node, out):
+        """Kraken-style output lines (ref: FastqKMerMatcher.printKrakenStyleOut
+        :597-611 + MatcherReadEntry.writeMatchDetails:723-756)."""
+        taxids = self.tree.taxids
+        for b in range(batch.n):
+            W = int(n_win[b])
+            if W <= 0:
+                continue  # no windows -> no output buffer in the reference
+            cn = int(class_node[b])
+            if not (self.write_all or cn >= 0):
+                continue
+            row = labels[b, :W]
+            # RLE segments
+            bounds = np.nonzero(np.diff(row))[0] + 1
+            starts = np.concatenate([[0], bounds])
+            ends = np.concatenate([bounds, [W]])
+            segs = []
+            for s, e in zip(starts, ends):
+                v = int(row[s])
+                if v == LABEL_INVALID:
+                    tag = b"A"
+                elif v == LABEL_MISS:
+                    tag = b"0"
+                else:
+                    tag = taxids[v].encode()
+                segs.append(tag + b":" + str(e - s).encode())
+            desc = batch.descriptors[b]
+            sp = desc.find(b" ")
+            name = desc[1:sp if sp >= 0 else len(desc)]
+            line = (b"C\t" if cn >= 0 else b"U\t") + name + b"\t" + \
+                (taxids[cn].encode() if cn >= 0 else b"0") + b"\t" + \
+                str(int(batch.lengths[b])).encode() + b"\t" + b" ".join(segs) + b"\n"
+            out.write(line)
+
+    # ------------------------------------------------------------------
+
+    def _build_result(self) -> MatchingResult:
+        tree = self.tree
+        unique = self._unique_per_node() if self.cfg.with_unique else None
+        taxid2stats: dict[str, CountsPerTaxid] = {}
+        touched = (self.kmers > 0) | (self.reads > 0) | (self.reads1 > 0)
+        for t in np.nonzero(touched)[0]:
+            t = int(t)
+            s = CountsPerTaxid(int(tree.depth[t]), tree.taxids[t])
+            s.reads = int(self.reads[t])
+            s.reads1_kmer = int(self.reads1[t])
+            s.reads_bps = int(self.reads_bps[t])
+            s.reads_kmers = int(self.reads_kmers[t])
+            s.kmers = int(self.kmers[t])
+            s.contigs = int(self.contigs[t])
+            s.contig_len_squared_sum = int(self.contig_sq[t])
+            s.max_contig_len = int(self.max_contig[t])
+            s.max_contig_descriptor = self.max_contig_desc[t]
+            s.error_sum = float(self.error_sum[t])
+            s.error_squared_sum = float(self.error_sq_sum[t])
+            s.class_error_sum = float(self.class_error_sum[t])
+            s.class_error_squared_sum = float(self.class_error_sq_sum[t])
+            s.unique_kmers = int(unique[t]) if unique is not None else -1
+            taxid2stats[tree.taxids[t]] = s
+        return MatchingResult(self.cfg.k, taxid2stats, self.db_md5,
+                              self.total_reads, self.total_kmers, self.total_bps)
+
+    def _unique_per_node(self) -> np.ndarray:
+        """Unique k-mers per node: segment-sum of the seen bits over the
+        table's value indexes (ref: KMerUniqueCounterBits.getUniqueKmerCounts)."""
+        seen = np.asarray(self._seen)[:-1].astype(np.int64)
+        per_value = np.bincount(self.table.value_idx, weights=seen,
+                                minlength=self.table.n_values).astype(np.int64)
+        out = np.zeros(self.n_nodes, np.int64)
+        nov = self.tree.node_of_value(self.table)
+        m = nov >= 0
+        np.add.at(out, nov[m], per_value[m])
+        return out

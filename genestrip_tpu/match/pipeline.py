@@ -1,0 +1,266 @@
+"""The batched read-classification device pipeline — the hot path.
+
+Reference equivalent: core match/FastqKMerMatcher.java:327-535 (matchRead),
+a scalar per-read rolling loop with striped-lock shared accumulators. The
+TPU redesign processes a [B, L] batch of packed reads as pure array ops:
+
+ 1. window k-mers: genestrip_tpu.ops.kmer.window_kmers (k shifted ORs).
+ 2. lookup: vectorized binary search -> per-window label
+      label[s] = node index of the hit, -1 = miss, -2 = INVALID window
+      (contains a non-CGAT base), -3 = beyond the read.
+    This matches the reference exactly because its bad-base skipping labels
+    precisely the windows containing a bad base as INVALID (see
+    FastqKMerMatcher.java:345-363,415-417 — every skipped window covers the
+    bad base, and run lengths merge across consecutive bad regions).
+ 3. contig stats: run-length segmentation of labels (boundaries where the
+    label changes), per-node scatter-adds replacing the reference's
+    per-contig locked updates (:390-420,452-473).
+ 4. classification (ref :474-535):
+      - the candidate-path set of mergeReadTaxidPath (:568-586) equals the
+        set of *maximal* distinct hit nodes (no other hit node strictly below
+        them) whenever at most maxPaths chains arise; computed via one sort
+        of (label, window) per read + the pre-order/Euler-interval property
+        that a node's descendants directly follow it in index order.
+        When more than maxPaths maximal nodes occur the reference's
+        insertion-order capping applies; we cap by first-occurrence order
+        (equivalent except for exotic interleavings; >10 distinct maximal
+        taxa in one read does not occur in practice).
+      - sumCounts (SmallTaxTree.java:184-193) = number of hit windows whose
+        node is an ancestor-or-equal of the candidate — a [B, P, W] masked
+        count, no per-node vote counters needed.
+      - the winner is the first candidate achieving the maximal path sum and
+        the classification is the LCA of *all* candidates achieving it —
+        identical to the reference's first-best + ties fold (:474-497).
+      - read tax error: the reference's running threshold abort (:371-379)
+        is sticky and only gates the final classification, so it equals a
+        closed-form test on the total miss+invalid window count.
+ 5. unique counting: scatter into a per-store-position seen/count vector
+    (ref: KMerUniqueCounterBits.putInlined:117-143 — the lock-striped bit
+    set becomes a scatter-max; positions are sorted-table ranks).
+
+minKMersForClass > 1 (threshold promotion, ref :488-492) is handled by a
+host-side exact fallback in matcher.py, not here (non-default config).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genestrip_tpu.ops.kmer import window_kmers
+from genestrip_tpu.store.table import lookup_positions
+
+LABEL_MISS = -1
+LABEL_INVALID = -2
+LABEL_NONE = -3
+
+
+@dataclass(frozen=True)
+class MatchConfig:
+    k: int
+    max_paths: int = 10
+    classify: bool = True
+    with_unique: bool = True
+    with_counts: bool = False
+    max_read_tax_error: float = -1.0     # ref GSConfigKey maxReadTaxErrorCount
+    max_read_class_error: float = -1.0   # ref maxReadClassErrorCount
+    threshold: int = 1                   # ref minKMersForClass
+    return_labels: bool = True
+
+
+def _lca_pair(anc, a, b):
+    """Vectorized LCA of index vectors a, b (assumed >= 0) via ancestor table."""
+    aa = anc[a]
+    ab = anc[b]
+    match = (aa == ab) & (aa >= 0)
+    d = jnp.sum(match.astype(jnp.int32), axis=-1) - 1
+    return jnp.where(d >= 0, jnp.take_along_axis(aa, jnp.maximum(d, 0)[..., None], axis=-1)[..., 0], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_table", "n_nodes"),
+                   donate_argnames=("seen", "counts"))
+def match_step(cfg: MatchConfig, n_table: int, n_nodes: int,
+               keys_hi, keys_lo, vidx, node_of_value, tout, anc,
+               codes, lengths, seen, counts):
+    """One batch of reads against the table. Returns per-read and per-node stats.
+
+    seen/counts are donated unique-counter state ([n_table+1] uint8/int32;
+    last slot is a dummy scatter target).
+    """
+    B, L = codes.shape
+    T = n_nodes
+    k = cfg.k
+    hi, lo, clean, exists = window_kmers(codes, lengths, k)
+    W = L - k + 1
+    assert W < (1 << 21), "padded window count exceeds composite-sort range; chunk long reads"
+
+    pos, found_win = lookup_positions(keys_hi, keys_lo, hi, lo, n_table)
+    valid = clean & exists
+    hit0 = valid & found_win
+    vi = jnp.where(hit0, vidx[jnp.where(hit0, pos, 0)], -1)
+    node = jnp.where(vi >= 0, node_of_value[jnp.maximum(vi, 0)], -1)
+    hit = hit0 & (node >= 0)
+    label = jnp.where(exists,
+                      jnp.where(clean, jnp.where(hit, node, LABEL_MISS), LABEL_INVALID),
+                      LABEL_NONE)
+
+    n_win = jnp.maximum(lengths - (k - 1), 0)          # per-read window count ("max")
+    found = jnp.any(hit, axis=1)
+
+    # ---- unique counting (by storage position) ----------------------------
+    if cfg.with_unique:
+        upos = jnp.where(hit, pos, n_table).reshape(-1)
+        seen = seen.at[upos].max(jnp.uint8(1))
+        if cfg.with_counts:
+            counts = counts.at[upos].add(1)
+
+    # ---- contig segmentation ----------------------------------------------
+    s_idx = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    prev = jnp.concatenate([jnp.full((B, 1), LABEL_NONE, label.dtype), label[:, :-1]], axis=1)
+    nxt = jnp.concatenate([label[:, 1:], jnp.full((B, 1), LABEL_NONE, label.dtype)], axis=1)
+    boundary = exists & (label != prev)
+    is_end = exists & (label != nxt)
+    run_start = jax.lax.associative_scan(jnp.maximum, jnp.where(boundary, s_idx, -1), axis=1)
+    clen = s_idx - run_start + 1
+
+    end_hit = is_end & hit
+    tnode = jnp.where(end_hit, label, T).reshape(-1)
+    clen_f = jnp.where(end_hit, clen, 0).reshape(-1)
+    zT = jnp.zeros(T + 1, jnp.int32)
+    contigs = zT.at[tnode].add(jnp.where(end_hit, 1, 0).reshape(-1))[:T]
+    kmers = zT.at[tnode].add(clen_f)[:T]
+    contig_sq = jnp.zeros(T + 1, jnp.float64).at[tnode].add(
+        clen_f.astype(jnp.float64) ** 2)[:T]
+    max_contig = zT.at[tnode].max(clen_f)[:T]
+    # first (read, window) achieving the per-node max, as encoded b*W+s
+    is_max = end_hit & (clen == max_contig[jnp.minimum(label, T - 1)]) & (max_contig[jnp.minimum(label, T - 1)] > 0)
+    enc = jnp.where(is_max, s_idx + W * jax.lax.broadcasted_iota(jnp.int32, (B, W), 0),
+                    jnp.iinfo(jnp.int32).max)
+    argmax_enc = jnp.full(T + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
+        jnp.where(is_max, label, T).reshape(-1)].min(enc.reshape(-1))[:T]
+
+    # ---- per-read distinct nodes: sort (label, s) composites ---------------
+    SHIFT = 1 << 21  # > max W we ever pad to; label fits in the high bits
+    comp = label.astype(jnp.int64) * SHIFT + s_idx.astype(jnp.int64)
+    comp = jnp.where(hit, comp, jnp.int64(jnp.iinfo(jnp.int64).max))
+    sorted_comp = jnp.sort(comp, axis=1)
+    s_node = jnp.where(sorted_comp < jnp.iinfo(jnp.int64).max,
+                       (sorted_comp // SHIFT).astype(jnp.int32), -1)
+    s_first = jnp.where(s_node >= 0, (sorted_comp % SHIFT).astype(jnp.int32), 0)
+    sp = jnp.concatenate([jnp.full((B, 1), -9, jnp.int32), s_node[:, :-1]], axis=1)
+    sn = jnp.concatenate([s_node[:, 1:], jnp.full((B, 1), -9, jnp.int32)], axis=1)
+    run_start_m = (s_node >= 0) & (s_node != sp)      # first window of each distinct node
+    run_end_m = (s_node >= 0) & (s_node != sn)
+
+    # reads >= 1 kmer per node (ref :434-439): one per (read, node)
+    reads1 = zT.at[jnp.where(run_start_m, s_node, T).reshape(-1)].add(
+        jnp.where(run_start_m, 1, 0).reshape(-1))[:T]
+
+    out = {
+        "found": found,
+        "n_win": n_win,
+        "contigs": contigs,
+        "kmers": kmers,
+        "contig_sq": contig_sq,
+        "max_contig": max_contig,
+        "argmax_enc": argmax_enc,
+        "reads1": reads1,
+        "seen": seen,
+        "counts": counts,
+    }
+    if cfg.return_labels:
+        out["label"] = label
+
+    if not cfg.classify:
+        out["class_node"] = jnp.full((B,), -1, jnp.int32)
+        out["read_kmers"] = jnp.zeros((B,), jnp.int32)
+        out["tax_err"] = jnp.zeros((B,), jnp.int32)
+        out["stats_ok"] = jnp.zeros((B,), bool)
+        return out
+
+    # ---- candidate paths: maximal distinct hit nodes -----------------------
+    # Node indices are pre-order positions, so a node's descendants directly
+    # follow it: the run's successor in sorted order is its smallest-tin
+    # descendant candidate. Non-maximal iff that successor is inside tout.
+    succ = jnp.where(sn >= 0, sn, jnp.iinfo(jnp.int32).max)
+    non_max = run_end_m & (succ < tout[jnp.maximum(s_node, 0)])
+    # A run's first occurrence s sits at its start (within equal labels the
+    # composite sort orders by s). Propagate it to the run end with a running
+    # max over run-start composites: node indices strictly ascend across a
+    # row's runs, so the latest run start always holds the row maximum.
+    start_comp = jnp.where(run_start_m, sorted_comp, jnp.int64(-1))
+    run_first = (jax.lax.associative_scan(jnp.maximum, start_comp, axis=1) % SHIFT).astype(jnp.int32)
+    cand_mask = run_end_m & ~non_max
+    comp2 = jnp.where(cand_mask,
+                      run_first.astype(jnp.int64) * SHIFT + s_node.astype(jnp.int64),
+                      jnp.int64(jnp.iinfo(jnp.int64).max))
+    cand_sorted = jnp.sort(comp2, axis=1)[:, : cfg.max_paths]
+    cand = jnp.where(cand_sorted < jnp.iinfo(jnp.int64).max,
+                     (cand_sorted % SHIFT).astype(jnp.int32), -1)
+
+    # ---- path sums (ref sumCounts): hits whose node is ancestor-or-eq ------
+    lab_e = label[:, None, :]
+    tout_lab = tout[jnp.maximum(label, 0)][:, None, :]
+    c_e = cand[:, :, None]
+    contrib = (lab_e >= 0) & (c_e >= 0) & (lab_e <= c_e) & (c_e < tout_lab)
+    sums = jnp.sum(contrib.astype(jnp.int32), axis=2)
+    sums = jnp.where(cand >= 0, sums, 0)
+
+    best = jnp.max(sums, axis=1)
+    has_cand = jnp.any(cand >= 0, axis=1)
+
+    # ---- read tax error (closed form of the sticky abort) ------------------
+    # The reference increments readTaxErrorCount once per *loop iteration*
+    # hitting a miss or a bad base (:371-379) — a bad-base skip covers many
+    # INVALID windows with a single increment. Each bad base gets exactly one
+    # iteration, except bad bases following another bad base at position
+    # >= max-1 (the scan has already left the window range by then):
+    #   tax_err = #miss windows + #bad bases at pos <= max-2
+    #             + (1 if any bad base at pos in [max-1, len))
+    n_miss = jnp.sum((label == LABEL_MISS).astype(jnp.int32), axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    bad_b = (codes > 3) & (col < lengths[:, None])
+    early = jnp.sum((bad_b & (col <= (n_win - 2)[:, None])).astype(jnp.int32), axis=1)
+    late = jnp.any(bad_b & (col >= (n_win - 1)[:, None]), axis=1).astype(jnp.int32)
+    tax_err = n_miss + early + late
+    A = cfg.max_read_tax_error
+    if A < 0:
+        tax_failed = jnp.zeros((B,), bool)
+    elif A >= 1:
+        tax_failed = tax_err.astype(jnp.float64) > A
+    else:
+        tax_failed = tax_err.astype(jnp.float64) > A * n_win.astype(jnp.float64)
+
+    # ---- winner: LCA of all candidates achieving the best sum --------------
+    is_best = (sums == best[:, None]) & (cand >= 0) & (best[:, None] > 0)
+    acc = jnp.full((B,), -1, jnp.int32)
+    for p in range(cfg.max_paths):
+        sel = is_best[:, p]
+        cp = cand[:, p]
+        pair = _lca_pair(anc, jnp.maximum(acc, 0), jnp.maximum(cp, 0))
+        acc = jnp.where(sel, jnp.where(acc < 0, cp, pair), acc)
+
+    classified = found & ~tax_failed & has_cand
+    class_node = jnp.where(classified, acc, -1)
+    read_kmers = jnp.where(classified, best, 0)
+
+    # ---- class error check (gates per-tax stats only, ref :508-510) --------
+    class_err_c = (n_win - read_kmers).astype(jnp.float64)
+    Bc = cfg.max_read_class_error
+    if Bc < 0:
+        stats_ok = jnp.ones((B,), bool)
+    elif Bc >= 1:
+        stats_ok = (class_err_c <= Bc) | (class_err_c <= Bc * n_win.astype(jnp.float64))
+    else:
+        stats_ok = class_err_c <= Bc * n_win.astype(jnp.float64)
+    stats_ok = stats_ok & (class_node >= 0)
+
+    out["class_node"] = class_node
+    out["read_kmers"] = read_kmers
+    out["tax_err"] = tax_err
+    out["stats_ok"] = stats_ok
+    return out
