@@ -1,0 +1,162 @@
+"""Benchmark: read-classification throughput (reads/sec/chip) on the real
+device, over a synthetic database + read mix shaped like the reference's
+human_virus micro-benchmark (small curated DB, 150 bp reads, ~half of the
+reads classifiable).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "reads/s/chip", "vs_baseline": N}
+
+vs_baseline: the reference publishes no benchmark numbers (BASELINE.md) and
+cannot be run here (no JVM). The baseline constant below is a deliberately
+generous estimate of the reference's multithreaded CPU throughput on a
+modern desktop for small DBs (its hot loop is a per-k-mer binary search):
+250k reads/s. vs_baseline = measured / BASELINE_READS_PER_SEC.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+BASELINE_READS_PER_SEC = 250_000.0
+
+
+def build_world(n_genome_bp: int, n_taxa: int, seed: int = 7, k: int = 31):
+    from genestrip_tpu.ops.kmer import window_kmers_np, split_u64
+    from genestrip_tpu.store.table import TableBuilder
+
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, size=n_genome_bp, dtype=np.int64).astype(np.uint8)
+    kmers, valid = window_kmers_np(genome, k)
+    kmers = kmers[valid]
+    builder = TableBuilder(k)
+    # split the genome's k-mers across taxa in contiguous blocks
+    bounds = np.linspace(0, len(kmers), n_taxa + 1).astype(np.int64)
+    for t in range(n_taxa):
+        builder.add(kmers[bounds[t]:bounds[t + 1]], str(1000 + t))
+    table = builder.build()
+
+    # simple binary-ish taxonomy over the taxa + root chain
+    n_nodes = n_taxa + n_taxa // 4 + 1
+    parent = np.full(n_nodes, -1, np.int32)
+    for i in range(1, n_taxa // 4 + 1):
+        parent[i] = (i - 1) // 2
+    for t in range(n_taxa):
+        parent[n_taxa // 4 + 1 + t] = 1 + (t % (n_taxa // 4))
+    depth = np.zeros(n_nodes, np.int32)
+    for i in range(1, n_nodes):
+        depth[i] = depth[parent[i]] + 1
+    order = np.argsort(depth, kind="stable")  # ensure parents precede children
+    # renumber to pre-order-ish (parents before children suffices here)
+    ren = np.empty(n_nodes, np.int64)
+    ren[order] = np.arange(n_nodes)
+    parent2 = np.full(n_nodes, -1, np.int32)
+    for i in range(n_nodes):
+        if parent[i] >= 0:
+            parent2[ren[i]] = ren[parent[i]]
+    from genestrip_tpu.tax.small import SmallTaxTree
+    taxids = [str(2000 + i) for i in range(n_nodes)]
+    # place the table's taxa at the leaf positions
+    tree = SmallTaxTree(taxids, taxids, [-1] * n_nodes, parent2,
+                        np.zeros(n_nodes, bool))
+    node_of_value = np.array(
+        [int(ren[n_taxa // 4 + 1 + t]) for t in range(n_taxa)], np.int32)
+    nov = np.full(table.n_values, -1, np.int32)
+    nov[: len(node_of_value)] = node_of_value
+    return table, tree, nov, genome
+
+
+def make_reads(genome: np.ndarray, n_reads: int, read_len: int, hit_frac: float,
+               seed: int = 3):
+    rng = np.random.default_rng(seed)
+    n_hit = int(n_reads * hit_frac)
+    starts = rng.integers(0, len(genome) - read_len, size=n_hit)
+    idx = starts[:, None] + np.arange(read_len)[None, :]
+    hit_reads = genome[idx]
+    rand_reads = rng.integers(0, 4, size=(n_reads - n_hit, read_len),
+                              dtype=np.int64).astype(np.uint8)
+    codes = np.concatenate([hit_reads, rand_reads])
+    rng.shuffle(codes, axis=0)
+    return codes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--db-bp", type=int, default=16_000_000)
+    ap.add_argument("--taxa", type=int, default=256)
+    ap.add_argument("--reads", type=int, default=512 * 1024)
+    ap.add_argument("--read-len", type=int, default=150)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--hit-frac", type=float, default=0.5)
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from genestrip_tpu.match.pipeline import MatchConfig, match_step
+    from genestrip_tpu.ops.kmer import split_u64
+
+    t0 = time.time()
+    table, tree, nov, genome = build_world(args.db_bp, args.taxa)
+    codes_all = make_reads(genome, args.reads, args.read_len, args.hit_frac)
+    t_build = time.time() - t0
+
+    k = table.k
+    hi, lo = split_u64(table.keys)
+    dev = dict(
+        keys_hi=jnp.asarray(hi), keys_lo=jnp.asarray(lo),
+        vidx=jnp.asarray(table.value_idx.astype(np.int32)),
+        node_of_value=jnp.asarray(nov),
+        tout=jnp.asarray(tree.tout), anc=jnp.asarray(tree.ancestor_at_depth))
+    n_table = table.entries
+    n_nodes = len(tree)
+    cfg = MatchConfig(k=k, return_labels=False)
+    B = args.batch
+    lengths = jnp.full((B,), args.read_len, jnp.int32)
+    seen = jnp.zeros(n_table + 1, jnp.uint8)
+    counts = jnp.zeros(1, jnp.int32)
+
+    n_batches = args.reads // B
+    batches = [jnp.asarray(codes_all[i * B:(i + 1) * B]) for i in range(n_batches)]
+
+    def step(codes, seen, counts):
+        return match_step(cfg, n_table, n_nodes, dev["keys_hi"], dev["keys_lo"],
+                          dev["vidx"], dev["node_of_value"], dev["tout"],
+                          dev["anc"], codes, lengths, seen, counts)
+
+    # warmup / compile
+    t0 = time.time()
+    out = step(batches[0], seen, counts)
+    seen, counts = out["seen"], out["counts"]
+    jax.block_until_ready(out["class_node"])
+    t_compile = time.time() - t0
+
+    t0 = time.time()
+    n_done = 0
+    cls = 0
+    for i in range(1, n_batches):
+        out = step(batches[i], seen, counts)
+        seen, counts = out["seen"], out["counts"]
+        n_done += B
+    cls = int(jnp.sum(out["class_node"] >= 0))  # force completion
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    rps = n_done / dt
+
+    if args.verbose:
+        print(f"# build={t_build:.1f}s compile={t_compile:.1f}s "
+              f"measured {n_done} reads in {dt:.2f}s; "
+              f"last-batch classified={cls}/{B}; table={n_table} kmers; "
+              f"device={jax.devices()[0]}")
+    print(json.dumps({
+        "metric": "classification throughput (k=31, 150bp reads, 16M-kmer DB, device pipeline)",
+        "value": round(rps, 1),
+        "unit": "reads/s/chip",
+        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,272 @@
+"""Database build: fill phase (k-mer extraction per genome region) and the
+LCA update phase (unspecific k-mer pruning).
+
+Reference equivalents: goals/refseq/FillDBGoal.java (+ the reader stack
+refseq/AbstractStoreFastaReader.java, AbstractRefSeqFastaReader.java) and
+goals/refseq/DBGoal.java. The TPU redesign replaces per-base rolling and
+per-k-mer store inserts/binary-searches with whole-region vectorized window
+extraction (ops/kmer.py) and bulk sorted-table operations; the reference's
+fillsize/tempindex pre-sizing goals are unnecessary because the table is
+built by exact sort-unique at the end of the fill.
+
+Order independence of the update phase is inherited from the reference:
+the LCA merge is commutative/associative (ref FastaReaderGoal.java:104-109),
+so bulk per-region batching yields the same final table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from genestrip_tpu.io.fasta import iter_fasta_regions
+from genestrip_tpu.io.streams import open_input
+from genestrip_tpu.ops.dust import window_dust_chunked
+from genestrip_tpu.ops.kmer import window_kmers_np
+from genestrip_tpu.store.table import KmerTable, TableBuilder
+from genestrip_tpu.tax.tree import TaxNode, TaxTree
+from genestrip_tpu.utils.dna import seq_to_codes
+
+NO_LIMIT = 2**63 - 1
+
+
+@dataclass
+class BuildOptions:
+    k: int = 31
+    max_dust: int = -1
+    step_size: int = 1
+    lowercase: bool = True
+    max_genomes_per_taxid: int = 2**31 - 1
+    max_genomes_rank = None
+    max_kmers_per_taxid: int = NO_LIMIT
+    complete_genomes_only: bool = False
+    data_nodes: bool = False
+    file_nodes: bool = False
+    id_nodes: bool = False
+    min_update: bool = False
+    update_complete_genomes_only: bool = False
+
+
+def extract_region_kmers(seq: bytes, opts: BuildOptions) -> np.ndarray:
+    """Canonical k-mers of one region after validity, stepSize and DUST
+    filters (ref: AbstractStoreFastaReader.dataLine:88-114).
+
+    The stepSize condition selects windows whose 1-based end position within
+    the region is a multiple of stepSize (the reference counts every fed
+    base, including non-CGAT ones, in bpsInRegion).
+    """
+    codes = seq_to_codes(seq, lowercase=opts.lowercase)
+    kmers, valid = window_kmers_np(codes, opts.k)
+    if len(kmers) == 0:
+        return kmers
+    if opts.step_size > 1:
+        ends = np.arange(opts.k, opts.k + len(kmers))
+        valid = valid & (ends % opts.step_size == 0)
+    if opts.max_dust >= 0:
+        dust = window_dust_chunked(codes, opts.k)
+        valid = valid & (dust <= opts.max_dust)
+    return kmers[valid]
+
+
+class _RegionCounts:
+    """Per-taxid (regions, kmers) counters on nodes and their ancestors
+    (ref: AbstractRefSeqFastaReader.endRegion + StringLong2DigitTrie)."""
+
+    def __init__(self):
+        self.counts: dict[str, list[int]] = {}
+
+    def add(self, node: TaxNode, kmers: int):
+        n = node
+        while n is not None:
+            c = self.counts.setdefault(n.tax_id, [0, 0])
+            c[0] += 1
+            c[1] += kmers
+            n = n.parent
+
+    def get(self, tax_id: str):
+        return self.counts.get(tax_id)
+
+
+class DBFiller:
+    """The fill phase (ref: FillDBGoal)."""
+
+    def __init__(self, tree: TaxTree, tax_nodes: set[TaxNode], accession_map,
+                 opts: BuildOptions):
+        self.tree = tree
+        self.tax_nodes = tax_nodes
+        self.accession_map = accession_map
+        self.opts = opts
+        self.builder = TableBuilder(opts.k)
+        self.region_counts = _RegionCounts()
+        self.total_kmers = 0      # incl. duplicates (the fillsize statistic)
+        caps = (opts.max_kmers_per_taxid < NO_LIMIT)
+        self._seen: set | None = set() if caps else None
+
+    def feed_file(self, path, mapped_node: TaxNode | None = None) -> None:
+        with open_input(path) as stream:
+            for header, seq in iter_fasta_regions(stream):
+                self._region(header, seq, path, mapped_node)
+
+    def _resolve(self, header: bytes, mapped_node, complete_only: bool):
+        if mapped_node is not None:
+            return mapped_node
+        if self.accession_map is None:
+            return None
+        sp = header.find(b" ")
+        acc = header[:sp] if sp >= 0 else None
+        if acc is None:
+            return None
+        return self.accession_map.get(acc.decode(), complete_only)
+
+    def _region(self, header: bytes, seq: bytes, path, mapped_node) -> None:
+        opts = self.opts
+        node = self._resolve(header, mapped_node, opts.complete_genomes_only)
+        if node is None or not (not self.tax_nodes or node in self.tax_nodes):
+            return
+        # caps (ref: AbstractRefSeqFastaReader.infoLine:180-211)
+        kmers_for_node = 0
+        cap_node = node
+        if opts.max_genomes_rank is not None:
+            cap_node = None
+            n = node
+            while n is not None:
+                if n.rank is opts.max_genomes_rank:
+                    cap_node = n
+                    break
+                n = n.parent
+        if cap_node is not None:
+            c = self.region_counts.get(cap_node.tax_id)
+            if c is not None:
+                kmers_for_node = c[1]
+                if (kmers_for_node >= opts.max_kmers_per_taxid
+                        or c[0] >= opts.max_genomes_per_taxid):
+                    return
+        node.mark_required()
+        store_node = self._rework_fill(node, header, path)
+        store_node.mark_required()
+
+        kmers = extract_region_kmers(seq, opts)
+        self.total_kmers += len(kmers)
+        if self._seen is not None:
+            # exact incremental dedup needed for cap accounting parity
+            fresh = [km for km in kmers.tolist() if km not in self._seen]
+            budget = opts.max_kmers_per_taxid - kmers_for_node
+            fresh = fresh[: max(budget, 0)]
+            self._seen.update(fresh)
+            new_count = len(fresh)
+            self.builder.add(np.array(fresh, dtype=np.uint64), store_node.tax_id)
+        else:
+            self.builder.add(kmers, store_node.tax_id)
+            new_count = len(kmers)   # duplicates resolved by the final dedup
+        self.region_counts.add(store_node, new_count)
+
+    def _rework_fill(self, node: TaxNode, header: bytes, path) -> TaxNode:
+        """ref: FillDBGoal.createFastaReader reworkNode (data/file/id nodes)."""
+        opts = self.opts
+        res = node
+        from genestrip_tpu.tax.tree import RANK_DATA, RANK_FILE, RANK_ID
+        if opts.data_nodes and res.rank_ordinal != RANK_DATA.ordinal:
+            res = self.tree.data_node(res)
+        if opts.file_nodes and path is not None and res.rank_ordinal != RANK_FILE.ordinal:
+            import os
+            res = self.tree.file_node(res, os.path.basename(str(path)))
+        if opts.id_nodes and res.rank_ordinal != RANK_ID.ordinal:
+            sp = header.find(b" ")
+            name = (header[:sp] if sp >= 0 else header).decode("utf-8", "replace")
+            res = self.tree.id_node(res, name)
+        return res
+
+    def build(self) -> KmerTable:
+        return self.builder.build()
+
+
+class DBUpdater:
+    """The LCA update phase (ref: DBGoal). Rewrites each stored k-mer's value
+    to the LCA of its current node and the node of every region it occurs in."""
+
+    def __init__(self, tree: TaxTree, table: KmerTable, tax_nodes: set[TaxNode],
+                 accession_map, opts: BuildOptions):
+        self.tree = tree
+        self.table = table
+        self.tax_nodes = tax_nodes
+        self.accession_map = accession_map
+        self.opts = opts
+        self.kmers_moved = 0
+
+    def feed_file(self, path, mapped_node: TaxNode | None = None) -> None:
+        with open_input(path) as stream:
+            for header, seq in iter_fasta_regions(stream):
+                self._region(header, seq, path, mapped_node)
+
+    def _region(self, header: bytes, seq: bytes, path, mapped_node) -> None:
+        opts = self.opts
+        if mapped_node is not None:
+            node = mapped_node
+        elif self.accession_map is not None:
+            sp = header.find(b" ")
+            acc = header[:sp].decode() if sp >= 0 else None
+            node = self.accession_map.get(acc, opts.update_complete_genomes_only) if acc else None
+        else:
+            node = None
+        if opts.min_update:
+            # only regions of the requested taxids (ref DBGoal.infoLine:267-274)
+            if node is None or not (not self.tax_nodes or node in self.tax_nodes):
+                return
+            node = self._rework_update(node, header, path)
+        else:
+            if node is not None:
+                node = self._rework_update(node, header, path)
+        if node is None:
+            # LCA(old, null) keeps the old value (ref provider :246-253) — no-op
+            return
+        kmers = extract_region_kmers(seq, opts)
+        if len(kmers) == 0:
+            return
+        pos = self.table.find_np(kmers)
+        pos = pos[pos >= 0]
+        if len(pos) == 0:
+            return
+        cur_vi = self.table.value_idx[pos].astype(np.int64)
+        uniq_vi = np.unique(cur_vi)
+        remap = np.arange(self.table.n_values, dtype=np.int64)
+        changed_any = False
+        for vi in uniq_vi.tolist():
+            old_taxid = self.table.values[vi]
+            old_node = self.tree.get(old_taxid)
+            lca = self.tree.lca(old_node, node)
+            new_taxid = lca.tax_id if lca is not None else old_taxid
+            if new_taxid != old_taxid:
+                remap[vi] = self.table.get_add_value_index(new_taxid)
+                changed_any = True
+        if changed_any:
+            new_vi = remap[cur_vi]
+            moved = new_vi != cur_vi
+            self.kmers_moved += int(moved.sum())
+            self.table.set_value_idx_at(pos[moved], new_vi[moved])
+
+    def _rework_update(self, node: TaxNode, header: bytes, path) -> TaxNode:
+        """ref: DBGoal reworkNode — only uses *existing* data/file/id children."""
+        opts = self.opts
+        from genestrip_tpu.tax.tree import RANK_DATA, RANK_FILE, RANK_ID
+        res = node
+        if opts.data_nodes and res.rank_ordinal != RANK_DATA.ordinal:
+            for child in res.children:
+                if child.rank_ordinal == RANK_DATA.ordinal:
+                    res = child
+                    break
+        if opts.file_nodes and path is not None and res.rank_ordinal != RANK_FILE.ordinal:
+            import os
+            name = os.path.basename(str(path))
+            for child in res.children:
+                if child.name == name:
+                    res = child
+                    break
+        if opts.id_nodes and res.rank_ordinal != RANK_ID.ordinal:
+            sp = header.find(b" ")
+            name = (header[:sp] if sp >= 0 else header).decode("utf-8", "replace")
+            for child in res.children:
+                if child.name == name:
+                    res = child
+                    break
+        return res

@@ -1,0 +1,843 @@
+"""The goal DAG: wires every pipeline goal for a project.
+
+Reference equivalent: GSMaker.java (createGoals:122-483 builds the ~50-goal
+graph; convenience API match()/filter()/matchResult():502-663). Goal names
+match the reference's GSGoalKey names (see the reference's Goals.md) so CLI
+usage carries over.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob as globmod
+import logging
+import os
+import zipfile
+from pathlib import Path
+
+from genestrip_tpu import __version__
+from genestrip_tpu.db import build as dbbuild
+from genestrip_tpu.db.download import download, file_md5
+from genestrip_tpu.db import refseq as rs
+from genestrip_tpu.io.streams import StreamingResource, open_output
+from genestrip_tpu.make.goal import FileGoal, Goal, Maker, MkdirGoal, ObjectGoal
+from genestrip_tpu.match.filter import FastqFilter
+from genestrip_tpu.match.matcher import Matcher
+from genestrip_tpu.match.pipeline import MatchConfig
+from genestrip_tpu.project import (
+    DB_CREATION_DATE, GENESTRIP_TITLE, GENESTRIP_VERSION, Project, REFSEQ_RELEASE,
+)
+from genestrip_tpu.report.reporter import write_dbinfo, write_match_report
+from genestrip_tpu.store.database import Database
+from genestrip_tpu.store.index import KmerIndex
+from genestrip_tpu.tax.small import SmallTaxTree
+from genestrip_tpu.tax.tree import TaxTree, collect_tax_nodes
+
+log = logging.getLogger("genestrip")
+
+TAX_DMP_ZIP = "taxdmp.zip"
+
+
+class GSMaker:
+    """Builds and owns the goal graph for one project."""
+
+    def __init__(self, project: Project, fastq_args: list[str] | None = None,
+                 map_file: str | None = None, key: str | None = None,
+                 taxids_arg: str | None = None):
+        self.project = project
+        self.maker = Maker()
+        self.fastq_args = fastq_args or []
+        self.map_file = map_file
+        self.key = key
+        self.taxids_arg = taxids_arg
+        self._create_goals()
+
+    # -- convenience API (ref: GSMaker.match/filter :502-663) ---------------
+
+    def goal(self, name: str) -> Goal:
+        return self.maker.goal(name)
+
+    def match(self, key: str, paths: list[str], lr: bool = False):
+        self.fastq_args = list(paths)
+        self.key = key
+        self.maker.goals["fastqmap"].dump()
+        self.goal("matchlr" if lr else "match").clean()
+        self.goal("matchlr" if lr else "match").make()
+        return self.goal("matchreslr" if lr else "matchres").get().get(key)
+
+    def filter(self, key: str, paths: list[str]):
+        self.fastq_args = list(paths)
+        self.key = key
+        self.maker.goals["fastqmap"].dump()
+        self.goal("filter").clean()
+        self.goal("filter").make()
+
+    def dump_all(self):
+        self.maker.dump_all()
+
+    # -- DAG construction ----------------------------------------------------
+
+    def _create_goals(self):
+        p = self.project
+        m = self.maker
+        reg = m.register
+
+        commonsetup = reg(MkdirGoal(p, "commonsetup", [
+            p.common.common_dir, p.common.refseq_dir, p.common.genbank_dir,
+            p.common.fastq_dir, p.common.fasta_dir]))
+        setup = reg(MkdirGoal(p, "setup", [
+            p.project_dir, p.fasta_dir, p.fastq_dir, p.db_dir, p.csv_dir,
+            p.krakenout_dir, p.log_dir, p.genbank_dir], deps=[commonsetup]))
+
+        # ---- taxonomy ----
+        taxdownload = reg(_TaxDownloadGoal(p, deps=[commonsetup]))
+        taxtree = reg(ObjectGoal(p, "taxtree", deps=[taxdownload],
+                                 func=lambda: self._load_taxtree(taxdownload)))
+        taxnodes = reg(ObjectGoal(p, "taxnodes", deps=[taxtree, setup], func=lambda: collect_tax_nodes(
+            taxtree.get(), p.taxids_file, p["rankCompletionDepth"])))
+
+        # ---- refseq metadata ----
+        categories = reg(ObjectGoal(p, "categories", deps=[setup],
+                                    func=lambda: rs.read_categories(p.categories_file)))
+        refseqrelease = reg(_ReleaseNumberGoal(p, deps=[commonsetup]))
+        refseqcat = reg(_CatalogDownloadGoal(p, refseqrelease, deps=[commonsetup]))
+        checksummap = reg(ObjectGoal(p, "checksummap", deps=[refseqcat], func=lambda: dict(
+            (name, md5) for md5, name in rs.parse_files_installed(refseqcat.installed_file))))
+        refseqfna = reg(_FnaFilesDownloadGoal(p, categories, refseqcat, checksummap))
+        accmap = reg(ObjectGoal(p, "accmap", deps=[taxtree, categories, refseqcat],
+                                func=lambda: rs.build_accession_map(
+                                    StreamingResource(str(refseqcat.catalog_file)),
+                                    taxtree.get(), categories.get(),
+                                    p["seqType"], p["refseq.status"])))
+
+        # ---- additional fastas ----
+        adddownloads = reg(_AdditionalDownloadsGoal(p, deps=[setup]))
+        addfastas = reg(ObjectGoal(p, "addfastas", deps=[taxtree, adddownloads],
+                                   func=lambda: self._additional_fastas(taxtree.get())))
+
+        # ---- db build ----
+        filldb = reg(ObjectGoal(p, "filldb",
+                                deps=[taxtree, taxnodes, categories, accmap, refseqfna,
+                                      addfastas, setup],
+                                func=lambda: self._fill_db(
+                                    taxtree.get(), taxnodes.get(), categories.get(),
+                                    accmap, refseqfna, addfastas.get())))
+        tempdb = reg(_SaveDBGoal(p, "tempdb", p.temp_db_file, filldb))
+        loadtempdb = reg(ObjectGoal(p, "loadtempdb", deps=[tempdb],
+                                    func=lambda: self._load_db_file(p.temp_db_file, tempdb)))
+        updatedb = reg(ObjectGoal(p, "updatedb",
+                                  deps=[taxtree, taxnodes, categories, accmap, refseqfna,
+                                        addfastas, loadtempdb],
+                                  func=lambda: self._update_db(
+                                      taxtree.get(), taxnodes.get(), categories.get(),
+                                      accmap, refseqfna, addfastas.get(), loadtempdb.get())))
+        db = reg(_FinalDBGoal(p, updatedb, tempdb))
+        loaddb = reg(ObjectGoal(p, "loaddb", deps=[db],
+                                func=lambda: self._load_db_file(p.db_file, db)))
+        dbconf = reg(ObjectGoal(p, "dbconf", deps=[db],
+                                func=lambda: Database.load_config_info(p.db_file)))
+        reg(_ShowDBConfGoal(p, dbconf))
+        reg(_DBInfoGoal(p, "dbinfo", p.db_info_file, loaddb))
+        reg(_DBInfoGoal(p, "tempdbinfo", p.temp_db_info_file, loadtempdb))
+
+        # ---- filtering index ----
+        fillindex = reg(ObjectGoal(p, "fillindex", deps=[loaddb],
+                                   func=lambda: KmerIndex.from_database(loaddb.get())))
+        index = reg(_SaveIndexGoal(p, fillindex))
+        loadindex = reg(ObjectGoal(p, "loadindex", deps=[index],
+                                   func=lambda: KmerIndex.load_npz(p.index_file)))
+
+        # ---- analysis ----
+        fastqmap = reg(ObjectGoal(p, "fastqmap", deps=[setup], func=self._fastq_map))
+        matchres = reg(_MatchResGoal(p, "matchres", loaddb, fastqmap, classify=True))
+        matchreslr = reg(_MatchResGoal(p, "matchreslr", loaddb, fastqmap, classify=False))
+        reg(_MatchGoal(p, "match", matchres, fastqmap))
+        reg(_MatchGoal(p, "matchlr", matchreslr, fastqmap))
+        reg(_FilterGoal(p, loadindex, fastqmap))
+        reg(_ExtractGoal(p, fastqmap))
+        reg(_Fasta2FastqGoal(p, fastqmap))
+        db2fastqtaxids = reg(ObjectGoal(p, "db2fastqtaxids", deps=[loaddb],
+                                        func=lambda: self._db2fastq_taxids(loaddb.get())))
+        reg(_DB2FastqGoal(p, loaddb, db2fastqtaxids))
+        reg(_SVGTaxTreeGoal(p, loaddb))
+
+        reg(Goal(p, "genall", deps=[db, index], user_goal=True))
+        reg(_ClearGoal(p))
+        reg(_DBDownloadGoal(p))
+
+        for name in ("db", "dbinfo", "db2fastq", "index", "match", "matchlr",
+                     "filter", "extract", "svgtaxtree", "genall", "clear",
+                     "fasta2fastq"):
+            m.goals[name].user_goal = True
+
+    # -- goal bodies ---------------------------------------------------------
+
+    def _load_taxtree(self, taxdownload) -> TaxTree:
+        return TaxTree(self.project.common.common_dir)
+
+    def _load_db_file(self, path, goal) -> Database:
+        return Database.load(path)
+
+    def _build_opts(self, update: bool = False) -> dbbuild.BuildOptions:
+        p = self.project
+        o = dbbuild.BuildOptions(
+            k=p["kMerSize"], max_dust=p["maxDust"], step_size=p["stepSize"],
+            lowercase=p["lowerCaseBases"],
+            max_genomes_per_taxid=p["maxGenomesPerTaxid"],
+            max_kmers_per_taxid=p["maxKMersPerTaxid"],
+            complete_genomes_only=p["refseq.completeGenomesOnly"],
+            data_nodes=p["dataNodes"], file_nodes=p["fileNodes"],
+            id_nodes=p["idNodes"], min_update=p["minUpdate"],
+            update_complete_genomes_only=p["refseq.updateWithCompleteGenomesOnly"])
+        o.max_genomes_rank = p["maxPerTaxidRank"]
+        return o
+
+    def _db_input_files(self, categories, refseqfna, additional: dict):
+        """(refseq files, additional {path: node}) honoring refseq.filldb."""
+        files = []
+        if self.project["refseq.filldb"]:
+            for f in refseqfna.files:
+                if rs.category_for_file_name(os.path.basename(str(f)), categories):
+                    files.append(f)
+        return files, additional
+
+    def _fill_db(self, tree, tax_nodes, categories, accmap_goal, refseqfna,
+                 additional) -> Database:
+        p = self.project
+        opts = self._build_opts()
+        use_refseq = p["refseq.filldb"]
+        amap = accmap_goal.get() if use_refseq else None
+        filler = dbbuild.DBFiller(tree, tax_nodes, amap, opts)
+        files, additional = self._db_input_files(categories, refseqfna, additional)
+        for f in files:
+            filler.feed_file(f)
+        for f, node in additional.items():
+            filler.feed_file(f, mapped_node=node)
+        table = filler.build()
+        tree.init_positions()
+        small = SmallTaxTree.from_tax_tree(tree)
+        for node in tax_nodes:
+            i = small.get(node.tax_id)
+            if i >= 0:
+                small.requested[i] = True
+        db = Database(table, small, p.all_properties())
+        db.init_store_indices()
+        log.info("Filled database: %d k-mers (%d incl. duplicates)",
+                 table.entries, filler.total_kmers)
+        return db
+
+    def _update_db(self, tree, tax_nodes, categories, accmap_goal, refseqfna,
+                   additional, filled: Database) -> Database:
+        p = self.project
+        opts = self._build_opts(update=True)
+        amap = accmap_goal.get() if p["refseq.filldb"] else None
+        updater = dbbuild.DBUpdater(tree, filled.table, tax_nodes, amap, opts)
+        files, additional = self._db_input_files(categories, refseqfna, additional)
+        for f in files:
+            updater.feed_file(f)
+        for f, node in additional.items():
+            updater.feed_file(f, mapped_node=node)
+        log.info("KMers moved via update: %d", updater.kmers_moved)
+        p.additional_properties[GENESTRIP_VERSION] = __version__
+        p.additional_properties[GENESTRIP_TITLE] = "genestrip-tpu"
+        p.additional_properties[DB_CREATION_DATE] = \
+            datetime.datetime.now().strftime("%Y/%m/%d %H:%M:%S")
+        return Database(filled.table, filled.tree, p.all_properties())
+
+    def _additional_fastas(self, tree: TaxTree) -> dict:
+        """Parse additional.txt: '<taxid> <file> [<URL> [<md5>]]'
+        (ref: goals/AdditionalFastasGoal + AdditionalDownloadsGoal)."""
+        p = self.project
+        out = {}
+        f = p.additional_file
+        if not f.exists():
+            return out
+        for line in f.read_text().splitlines():
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = line.split()
+            if len(parts) < 2:
+                continue
+            taxid, fname = parts[0], parts[1]
+            node = tree.get(taxid)
+            if node is None:
+                log.warning("Unknown taxid in additional file (omitting fasta files for it): %s", taxid)
+                continue
+            path = p.fasta_file_from_path(fname)
+            if path is None and len(parts) >= 3:
+                target = p.common.fasta_dir / fname
+                download(parts[2], target, md5=parts[3] if len(parts) > 3 else None,
+                         tries=p["maxDownloadTries"])
+                path = target
+            if path is None:
+                log.warning("Ignoring missing file %s.", fname)
+                continue
+            out[path] = node
+        return out
+
+    def _fastq_map(self) -> dict[str, list]:
+        """Parse -f/-m into {key: [StreamingResource]} (ref: goals/FastqMapGoal)."""
+        p = self.project
+        out: dict[str, list] = {}
+
+        def resolve(spec: str) -> list:
+            if "://" in spec:
+                return [StreamingResource(spec, assume_gzip=p["alwaysAssumeGzip"])]
+            for base in (Path("."), p.fastq_dir, p.common.fastq_dir,
+                         p.common.base_dir / "fastq"):
+                matches = sorted(globmod.glob(str(base / spec))) if any(
+                    ch in spec for ch in "*?[") else (
+                    [str(base / spec)] if (base / spec).exists() else [])
+                if matches:
+                    return [StreamingResource(mp) for mp in matches]
+            if Path(spec).exists():
+                return [StreamingResource(spec)]
+            raise FileNotFoundError(f"fastq not found: {spec}")
+
+        if self.map_file:
+            for line in Path(self.map_file).read_text().splitlines():
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                key, _, spec = line.partition(" ")
+                if spec.strip():
+                    out.setdefault(key.strip(), []).extend(resolve(spec.strip()))
+        for spec in self.fastq_args:
+            key = self.key
+            if key is None:
+                name = os.path.basename(spec.split("?")[0])
+                key = self.project.file_base_name(name)
+            out.setdefault(key, []).extend(resolve(spec))
+        return out
+
+    def _db2fastq_taxids(self, db: Database) -> list[str]:
+        """ref: goals/DB2FastqTaxNodesGoal — '-tx a,b+,c' with '+' meaning
+        include descendants from the database's tax tree."""
+        tree = db.tree
+        arg = self.taxids_arg
+        if not arg:
+            arg_list = self.project["taxids"]
+        else:
+            arg_list = [t for t in arg.split(",") if t]
+        if not arg_list:
+            return list(tree.taxids)
+        out = []
+        for t in arg_list:
+            desc = t.endswith("+")
+            t = t[:-1] if desc else t
+            i = tree.get(t)
+            if i < 0:
+                continue
+            if desc:
+                lo, hi = int(tree.tin[i]), int(tree.tout[i])
+                out.extend(tree.taxids[lo:hi])
+            else:
+                out.append(t)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# concrete goals
+# ---------------------------------------------------------------------------
+
+class _TaxDownloadGoal(FileGoal):
+    def __init__(self, project, deps):
+        common = project.common.common_dir
+        super().__init__(project, "taxdownload",
+                         [common / "nodes.dmp", common / "names.dmp"], deps)
+
+    def do_make(self):
+        if self.is_made():
+            return
+        p = self.project
+        common = p.common.common_dir
+        zip_path = common / TAX_DMP_ZIP
+        url = p["httpBaseURL"] + "/pub/taxonomy/" + TAX_DMP_ZIP
+        download(url, zip_path, tries=p["maxDownloadTries"])
+        with zipfile.ZipFile(zip_path) as z:
+            for name in ("nodes.dmp", "names.dmp"):
+                z.extract(name, common)
+        zip_path.unlink(missing_ok=True)
+
+    def keep_on_clean_all(self):
+        return True
+
+
+class _ReleaseNumberGoal(FileGoal):
+    def __init__(self, project, deps):
+        self.release_file = project.common.refseq_dir / "RELEASE_NUMBER"
+        super().__init__(project, "refseqrelease", [self.release_file], deps)
+
+    def make_file(self, f):
+        p = self.project
+        download(p["refseq.httpBaseURL"] + "/release/RELEASE_NUMBER", f,
+                 tries=p["maxDownloadTries"])
+
+    def release_number(self) -> str:
+        self.make()
+        return self.release_file.read_text().strip()
+
+    def keep_on_clean_all(self):
+        return True
+
+
+class _CatalogDownloadGoal(FileGoal):
+    """ref: goals/refseq/RefSeqCatalogDownloadGoal."""
+
+    def __init__(self, project, release_goal, deps):
+        super().__init__(project, "refseqcat", None, deps + [release_goal])
+        self.release_goal = release_goal
+
+    def _resolve(self):
+        n = self.release_goal.release_number()
+        refseq_dir = self.project.common.refseq_dir
+        self.catalog_file = refseq_dir / f"RefSeq-release{n}.catalog.gz"
+        self.installed_file = refseq_dir / f"release{n}.files.installed"
+        self._files = [self.catalog_file, self.installed_file]
+
+    @property
+    def files(self):
+        if not self._files:
+            self._resolve()
+        return self._files
+
+    def is_made(self):
+        if not self._files:
+            if not self.release_goal.is_made():
+                return False
+            self._resolve()
+        return super().is_made()
+
+    def make_file(self, f):
+        p = self.project
+        url = p["refseq.httpBaseURL"] + "/release/release-catalog/" + f.name
+        download(url, f, tries=p["maxDownloadTries"])
+
+    def keep_on_clean_all(self):
+        return True
+
+
+class _FnaFilesDownloadGoal(FileGoal):
+    """ref: goals/refseq/RefSeqFnaFilesDownloadGoal — file list derived from
+    files.installed, filtered by category and sequence type."""
+
+    def __init__(self, project, categories_goal, catalog_goal, checksum_goal):
+        super().__init__(project, "refseqfna", None,
+                         [categories_goal, catalog_goal, checksum_goal])
+        self.categories_goal = categories_goal
+        self.catalog_goal = catalog_goal
+        self.checksum_goal = checksum_goal
+        self.file2cat = {}
+
+    def _resolve(self):
+        p = self.project
+        self.catalog_goal.make()
+        cats = self.categories_goal.get()
+        seq_type = p["seqType"]
+        files = []
+        for _md5, name in rs.parse_files_installed(self.catalog_goal.installed_file):
+            if not rs.fna_file_name_relevant(name, seq_type):
+                continue
+            cat = rs.category_for_file_name(name, cats)
+            if cat is None:
+                continue
+            f = p.common.refseq_dir / cat / name
+            files.append(f)
+            self.file2cat[f] = cat
+        self._files = files
+
+    @property
+    def files(self):
+        if not self._files:
+            self._resolve()
+        return self._files
+
+    def is_made(self):
+        if not self._files:
+            try:
+                self._resolve()
+            except Exception:
+                return False
+        return super().is_made()
+
+    def make_file(self, f):
+        p = self.project
+        cat = self.file2cat[f]
+        url = p["refseq.httpBaseURL"] + "/release/" + cat + "/" + f.name
+        md5 = self.checksum_goal.get().get(f.name)
+        try:
+            download(url, f, md5=md5, tries=p["maxDownloadTries"],
+                     use_md5_cache=p["checkSumCacheFile"])
+        except IOError:
+            if not p["ignoreMissingFastas"]:
+                raise
+            log.warning("Ignoring missing fasta %s", f.name)
+
+    def keep_on_clean_all(self):
+        return True
+
+
+class _AdditionalDownloadsGoal(Goal):
+    def __init__(self, project, deps):
+        super().__init__(project, "adddownloads", deps)
+
+
+class _SaveDBGoal(FileGoal):
+    """ref: goals/refseq/StoreDBGoal — save a database object to a zip."""
+
+    def __init__(self, project, name, path, source_goal):
+        super().__init__(project, name, [path], [source_goal])
+        self.source_goal = source_goal
+
+    def make_file(self, f):
+        self.source_goal.get().save(f)
+
+
+class _FinalDBGoal(FileGoal):
+    """Save the final db zip; delete the temp db afterwards
+    (ref: GSMaker.java:323-353 dependentMade hook + removeTempDB)."""
+
+    def __init__(self, project, updatedb, tempdb):
+        super().__init__(project, "db", [project.db_file], [updatedb])
+        self.updatedb = updatedb
+        self.tempdb = tempdb
+
+    def make_file(self, f):
+        self.updatedb.get().save(f)
+        if self.project["removeTempDB"]:
+            self.tempdb.clean()
+            tdi = self.project.temp_db_info_file
+            if tdi.exists():
+                tdi.unlink()
+
+
+class _DBInfoGoal(FileGoal):
+    def __init__(self, project, name, path, db_goal):
+        super().__init__(project, name, [path], [db_goal])
+        self.db_goal = db_goal
+
+    def make_file(self, f):
+        db = self.db_goal.get()
+        write_dbinfo(db.tree, db.stats(), db.k, db.table.entries, db.md5, f)
+
+
+class _ShowDBConfGoal(Goal):
+    def __init__(self, project, dbconf):
+        super().__init__(project, "showdbconf", [dbconf])
+        self.dbconf = dbconf
+
+    def do_make(self):
+        for k, v in sorted(self.dbconf.get().items()):
+            print(f"{k}={v}")
+
+    def is_made(self):
+        return False
+
+
+class _SaveIndexGoal(FileGoal):
+    def __init__(self, project, fillindex):
+        super().__init__(project, "index", [project.index_file], [fillindex])
+        self.fillindex = fillindex
+
+    def make_file(self, f):
+        self.fillindex.get().save_npz(f)
+
+
+class _MatchResGoal(ObjectGoal):
+    """ref: goals/MatchResultGoal — runs the matcher per key, holding
+    {key: MatchingResult}; optionally writes filtered/kraken-out files."""
+
+    def __init__(self, project, name, loaddb, fastqmap, classify: bool):
+        super().__init__(project, name, [loaddb, fastqmap])
+        self.loaddb = loaddb
+        self.fastqmap = fastqmap
+        self.classify = classify
+
+    def do_make(self):
+        p = self.project
+        db = self.loaddb.get()
+        cfg = MatchConfig(
+            k=db.k,
+            max_paths=p["maxClassificationPaths"],
+            classify=self.classify and p["classifyReads"],
+            with_unique=p["countUniqueKMers"],
+            with_counts=p["maxKMerResCounts"] > 0,
+            max_read_tax_error=p["maxReadTaxErrorCount"],
+            max_read_class_error=p["maxReadClassErrorCount"],
+            threshold=p["minKMersForClass"],
+            return_labels=False,
+        )
+        results = {}
+        for key, resources in self.fastqmap.get().items():
+            matcher = Matcher(db.table, db.tree, cfg, db_md5=db.md5 or "",
+                              batch_size=p["matchBatchSize"],
+                              max_kmer_res_counts=p["maxKMerResCounts"],
+                              write_all=p["writeAll"])
+            gz = p["gzipFastqOutput"]
+            filtered = kraken = None
+            try:
+                if p["writeFilteredFastq"]:
+                    filtered = open_output(p.output_file(
+                        self.name, "fastq_res", key=key, gzip=gz))
+                if p["writeKrakenStyleOut"]:
+                    kraken = open_output(p.output_file(
+                        self.name, "kraken_out", key=key, gzip=False))
+                res = matcher.run(resources, filtered_out=filtered, kraken_out=kraken)
+            finally:
+                if filtered:
+                    filtered.close()
+                if kraken:
+                    kraken.close()
+            res.complete_results(db.tree, db.stats())
+            results[key] = res
+        self.set(results)
+
+
+class _MatchGoal(FileGoal):
+    """ref: goals/MatchGoal — writes the match CSV per key."""
+
+    def __init__(self, project, name, matchres, fastqmap):
+        super().__init__(project, name, None, [matchres, fastqmap])
+        self.matchres = matchres
+        self.fastqmap = fastqmap
+
+    @property
+    def files(self):
+        self._files = [
+            self.project.output_file(self.name, "csv", key=key)
+            for key in self.fastqmap.get().keys()]
+        return self._files
+
+    def is_made(self):
+        try:
+            return bool(self.files) and super().is_made()
+        except Exception:
+            return False
+
+    def do_make(self):
+        for key in self.fastqmap.get().keys():
+            f = self.project.output_file(self.name, "csv", key=key)
+            if not f.exists():
+                f.parent.mkdir(parents=True, exist_ok=True)
+                write_match_report(self.matchres.get()[key], f)
+
+
+class _FilterGoal(FileGoal):
+    """ref: goals/FilterGoal."""
+
+    def __init__(self, project, loadindex, fastqmap):
+        super().__init__(project, "filter", None, [loadindex, fastqmap])
+        self.loadindex = loadindex
+        self.fastqmap = fastqmap
+
+    @property
+    def files(self):
+        gz = self.project["gzipFastqOutput"]
+        self._files = [
+            self.project.output_file("filter", "fastq_res", key=key, gzip=gz)
+            for key in self.fastqmap.get().keys()]
+        return self._files
+
+    def is_made(self):
+        try:
+            return bool(self.files) and super().is_made()
+        except Exception:
+            return False
+
+    def do_make(self):
+        p = self.project
+        gz = p["gzipFastqOutput"]
+        index = self.loadindex.get()
+        for key, resources in self.fastqmap.get().items():
+            out_path = p.output_file("filter", "fastq_res", key=key, gzip=gz)
+            if out_path.exists():
+                continue
+            out_path.parent.mkdir(parents=True, exist_ok=True)
+            ff = FastqFilter(index, min_pos_count=p["minPosCountFilter"],
+                             pos_ratio=p["posRatioFilter"],
+                             batch_size=p["matchBatchSize"])
+            dumped = None
+            filtered = open_output(out_path)
+            try:
+                if p["writeDumpedFastq"]:
+                    dumped = open_output(p.output_file(
+                        "dumped", "fastq_res", base_file=out_path.name, gzip=gz))
+                ff.run(resources, filtered, dumped)
+            finally:
+                filtered.close()
+                if dumped:
+                    dumped.close()
+            log.info("Filter %s: accepted %d/%d reads", key, ff.accepted, ff.total)
+
+
+class _ExtractGoal(FileGoal):
+    """ref: goals/ExtractGoal — copy reads whose descriptor starts with
+    extractKey (after the '@')."""
+
+    def __init__(self, project, fastqmap):
+        super().__init__(project, "extract", None, [fastqmap])
+        self.fastqmap = fastqmap
+
+    @property
+    def files(self):
+        gz = self.project["gzipFastqOutput"]
+        self._files = [
+            self.project.output_file("extract", "fastq_res", key=key, gzip=gz)
+            for key in self.fastqmap.get().keys()]
+        return self._files
+
+    def is_made(self):
+        try:
+            return bool(self.files) and super().is_made()
+        except Exception:
+            return False
+
+    def do_make(self):
+        from genestrip_tpu.io.reads import BatchPacker, parse_reads
+        p = self.project
+        gz = p["gzipFastqOutput"]
+        key_prefix = p["extractKey"].encode()
+        for key, resources in self.fastqmap.get().items():
+            out_path = p.output_file("extract", "fastq_res", key=key, gzip=gz)
+            out_path.parent.mkdir(parents=True, exist_ok=True)
+            with open_output(out_path) as out:
+                for res in resources:
+                    fasta = res.type_hint == "fasta"
+                    packer = BatchPacker(1024)
+                    with res.open() as stream:
+                        for batch in parse_reads(stream, packer, fasta):
+                            for i in range(batch.n):
+                                if batch.descriptors[i][1:].startswith(key_prefix):
+                                    out.write(batch.descriptors[i] + b"\n" +
+                                              batch.seqs[i] + b"\n+\n" +
+                                              (batch.probs[i] if batch.probs else
+                                               b"~" * len(batch.seqs[i])) + b"\n")
+
+
+class _Fasta2FastqGoal(FileGoal):
+    """ref: goals/Fasta2FastqGoal — rewrite fasta input as fastq."""
+
+    def __init__(self, project, fastqmap):
+        super().__init__(project, "fasta2fastq", None, [fastqmap])
+        self.fastqmap = fastqmap
+
+    @property
+    def files(self):
+        gz = self.project["gzipFastqOutput"]
+        self._files = [
+            self.project.output_file("fasta2fastq", "fastq_res", key=key, gzip=gz)
+            for key in self.fastqmap.get().keys()]
+        return self._files
+
+    def is_made(self):
+        try:
+            return bool(self.files) and super().is_made()
+        except Exception:
+            return False
+
+    def do_make(self):
+        from genestrip_tpu.io.fasta import iter_fasta_regions
+        p = self.project
+        gz = p["gzipFastqOutput"]
+        for key, resources in self.fastqmap.get().items():
+            out_path = p.output_file("fasta2fastq", "fastq_res", key=key, gzip=gz)
+            out_path.parent.mkdir(parents=True, exist_ok=True)
+            with open_output(out_path) as out:
+                for res in resources:
+                    with res.open() as stream:
+                        for header, seq in iter_fasta_regions(stream):
+                            out.write(b"@" + header + b"\n" + seq + b"\n+\n" +
+                                      b"~" * len(seq) + b"\n")
+
+
+class _DB2FastqGoal(FileGoal):
+    """ref: goals/DB2FastqGoal — dump each taxid's stored k-mers as reads."""
+
+    def __init__(self, project, loaddb, taxids_goal):
+        super().__init__(project, "db2fastq", None, [loaddb, taxids_goal])
+        self.loaddb = loaddb
+        self.taxids_goal = taxids_goal
+
+    @property
+    def files(self):
+        self._files = [
+            self.project.output_file("db2fastq", "fastq", key=t, gzip=True)
+            for t in self.taxids_goal.get()]
+        return self._files
+
+    def is_made(self):
+        try:
+            return bool(self.files) and super().is_made()
+        except Exception:
+            return False
+
+    def do_make(self):
+        import numpy as np
+        from genestrip_tpu.utils.dna import u64_to_seq
+        db = self.loaddb.get()
+        k = db.k
+        table = db.table
+        for taxid in self.taxids_goal.get():
+            f = self.project.output_file("db2fastq", "fastq", key=taxid, gzip=True)
+            if f.exists():
+                continue
+            f.parent.mkdir(parents=True, exist_ok=True)
+            vi = table.get_index_for_value(taxid)
+            with open_output(f) as out:
+                if vi >= 0:
+                    kmers = table.keys[table.value_idx == vi]
+                    quality = b"~" * k
+                    for i, km in enumerate(kmers.tolist()):
+                        out.write(b"@" + taxid.encode() + b":" + str(i).encode() +
+                                  b"\n" + u64_to_seq(km, k) + b"\n+\n" + quality + b"\n")
+
+
+class _SVGTaxTreeGoal(FileGoal):
+    """ref: goals/refseq/SVGTaxTreeGoal — compact SVG taxonomy rendering."""
+
+    def __init__(self, project, loaddb):
+        super().__init__(project, "svgtaxtree",
+                         [project.output_file("svgtaxtree", "svg")], [loaddb])
+        self.loaddb = loaddb
+
+    def make_file(self, f):
+        from genestrip_tpu.report.svg import write_svg_taxtree
+        db = self.loaddb.get()
+        write_svg_taxtree(self.project, db, f)
+
+
+class _ClearGoal(Goal):
+    """ref: 'clear' — delete all files in csv, log and krakenout."""
+
+    def __init__(self, project):
+        super().__init__(project, "clear", [], user_goal=True)
+
+    def do_make(self):
+        for d in (self.project.csv_dir, self.project.log_dir,
+                  self.project.krakenout_dir):
+            if d.is_dir():
+                for f in d.iterdir():
+                    if f.is_file():
+                        f.unlink()
+
+    def is_made(self):
+        return False
+
+
+class _DBDownloadGoal(FileGoal):
+    """ref: goals/DBDownloadGoal — install a prebuilt database from a URL
+    given in the project's 'db.url' property file entry."""
+
+    def __init__(self, project):
+        super().__init__(project, "dbdownload", [project.db_file], [])
+
+    def make_file(self, f):
+        p = self.project
+        url_file = p.project_dir / "dbdownload.txt"
+        if not url_file.exists():
+            raise FileNotFoundError(
+                "dbdownload requires a dbdownload.txt with '<URL> [<md5>]' in the project dir")
+        parts = url_file.read_text().split()
+        download(parts[0], f, md5=parts[1] if len(parts) > 1 else None,
+                 tries=p["maxDownloadTries"])

@@ -1,0 +1,83 @@
+"""Fastq filtering through the k-mer index.
+
+Reference equivalent: core bloom/FastqBloomFilter.java — per read, count the
+k-mers contained in the index; accept when the count reaches the positive
+threshold (minPosCountFilter, or ceil-less int(max * posRatioFilter) when
+minPosCountFilter == 0, ref isAcceptRead:120-…). The early accept/reject
+short-circuits of the reference do not change the decision, which reduces
+to: accept iff #contained >= max(posThreshold, 1). Filtered (and optionally
+dumped) reads are rewritten as 4-line fastq.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genestrip_tpu.io.reads import BatchPacker, parse_reads
+from genestrip_tpu.io.streams import StreamingResource
+from genestrip_tpu.ops.kmer import window_kmers
+from genestrip_tpu.store.index import KmerIndex
+from genestrip_tpu.store.table import lookup_positions
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_index", "min_pos_count", "pos_ratio"))
+def filter_step(k: int, n_index: int, min_pos_count: int, pos_ratio: float,
+                keys_hi, keys_lo, codes, lengths):
+    hi, lo, clean, exists = window_kmers(codes, lengths, k)
+    _, found = lookup_positions(keys_hi, keys_lo, hi, lo, n_index)
+    contained = jnp.sum((found & clean & exists).astype(jnp.int32), axis=1)
+    n_win = jnp.maximum(lengths - (k - 1), 0)
+    if min_pos_count > 0:
+        thr = jnp.full_like(n_win, min_pos_count)
+    else:
+        thr = (n_win.astype(jnp.float64) * pos_ratio).astype(jnp.int32)
+    return contained >= jnp.maximum(thr, 1)
+
+
+class FastqFilter:
+    def __init__(self, index: KmerIndex, min_pos_count: int = 1,
+                 pos_ratio: float = 0.2, batch_size: int = 8192):
+        self.index = index
+        self.min_pos_count = min_pos_count
+        self.pos_ratio = pos_ratio
+        self.batch_size = batch_size
+        self.accepted = 0
+        self.total = 0
+
+    def run(self, resources, filtered_out, dumped_out=None) -> None:
+        d = self.index.device_arrays()
+        for res in resources:
+            if not isinstance(res, StreamingResource):
+                res = StreamingResource(res)
+            fasta = res.type_hint == "fasta"
+            packer = BatchPacker(self.batch_size)
+            with res.open() as stream:
+                for batch in parse_reads(stream, packer, fasta):
+                    codes, lengths = batch.codes, batch.lengths
+                    if batch.n < self.batch_size:
+                        pad = self.batch_size - batch.n
+                        codes = np.concatenate(
+                            [codes, np.full((pad, codes.shape[1]), 255, np.uint8)])
+                        lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+                    acc = np.asarray(filter_step(
+                        self.index.k, d["n"], self.min_pos_count, self.pos_ratio,
+                        d["hi"], d["lo"], jnp.asarray(codes), jnp.asarray(lengths)))
+                    self.total += batch.n
+                    for b in range(batch.n):
+                        out = filtered_out if acc[b] else dumped_out
+                        if acc[b]:
+                            self.accepted += 1
+                        if out is not None:
+                            out.write(batch.descriptors[b])
+                            out.write(b"\n")
+                            out.write(batch.seqs[b])
+                            out.write(b"\n+\n")
+                            if batch.probs is not None and batch.probs[b]:
+                                out.write(batch.probs[b])
+                            else:
+                                out.write(b"~" * len(batch.seqs[b]))
+                            out.write(b"\n")

@@ -186,6 +186,11 @@ class KmerTable:
     # -- persistence ---------------------------------------------------------
 
     def save_npz(self, path) -> None:
+        if not hasattr(path, "write"):
+            # open explicitly: np.savez appends '.npz' to plain string paths
+            with open(path, "wb") as fh:
+                self.save_npz(fh)
+            return
         np.savez_compressed(
             path,
             k=np.int64(self.k),

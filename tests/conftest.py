@@ -7,7 +7,9 @@ backend has been created yet.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force: the machine presets JAX_PLATFORMS=axon (real TPU); tests must run
+# on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

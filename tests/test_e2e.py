@@ -1,0 +1,218 @@
+"""Hermetic end-to-end pipeline test: database generation (download ->
+taxonomy -> catalog -> fill -> LCA update -> save) and analysis (match CSV,
+kraken-out, filter, dbinfo, db2fastq) against a local fake NCBI mirror.
+
+Mirrors the reference's dengue1 integration scenario
+(goals/refseq/DBGoalTest.java): the same genome is attributed to 11053 via
+the RefSeq catalog and to 9606 via additional.txt, so after the update phase
+every k-mer moves to the root "1" while totals are preserved.
+"""
+
+import gzip
+import hashlib
+import zipfile
+
+import numpy as np
+import pytest
+
+from fixtures import write_mini_taxonomy, write_fasta, write_fastq, random_genome
+
+from genestrip_tpu.maker import GSMaker
+from genestrip_tpu.project import Common, Project
+from genestrip_tpu.store.database import Database
+
+K = 31
+
+
+@pytest.fixture()
+def world(tmp_path):
+    rng = np.random.default_rng(99)
+    mirror = tmp_path / "mirror"
+    # taxonomy: taxdmp.zip
+    taxdir = write_mini_taxonomy(tmp_path / "taxsrc")
+    (mirror / "pub/taxonomy").mkdir(parents=True)
+    with zipfile.ZipFile(mirror / "pub/taxonomy/taxdmp.zip", "w") as z:
+        z.write(taxdir / "nodes.dmp", "nodes.dmp")
+        z.write(taxdir / "names.dmp", "names.dmp")
+    # genomes
+    g1 = random_genome(rng, 500)   # dengue 1 (11053) — also mapped to 9606
+    g2 = random_genome(rng, 400)   # dengue 2 (11060)
+    rel = mirror / "refseq/release"
+    (rel / "viral").mkdir(parents=True)
+    (rel / "release-catalog").mkdir(parents=True)
+    (rel / "RELEASE_NUMBER").write_text("230\n")
+    fna = rel / "viral/viral.1.1.genomic.fna.gz"
+    body = (">NC_001477.1 Dengue virus 1, complete genome\n"
+            + _wrap(g1) + ">NC_001474.2 Dengue virus 2, complete genome\n"
+            + _wrap(g2))
+    with gzip.open(fna, "wb") as f:
+        f.write(body.encode())
+    md5 = hashlib.md5(fna.read_bytes()).hexdigest()
+    with gzip.open(rel / "release-catalog/RefSeq-release230.catalog.gz", "wb") as f:
+        f.write(b"11053\tDengue virus 1\tNC_001477.1\tviral\tPROVISIONAL\t1000\n")
+        f.write(b"11060\tDengue virus 2\tNC_001474.2\tviral\tPROVISIONAL\t1000\n")
+        f.write(b"9606\tHomo sapiens\tNC_000001.11\tvertebrate_mammalian\tPROVISIONAL\t1000\n")
+    (rel / "release-catalog/release230.files.installed").write_text(
+        f"{md5}\tviral.1.1.genomic.fna.gz\n")
+
+    # project
+    base = tmp_path / "data"
+    proj = base / "projects/dengue1"
+    proj.mkdir(parents=True)
+    (proj / "taxids.txt").write_text("12637\n")
+    (proj / "categories.txt").write_text("viral\n")
+    # additional: same genome under 9606 (deliberately "wrong", ref DBGoalTest)
+    (proj / "fasta").mkdir()
+    write_fasta(proj / "fasta/dengue1.fasta",
+                [("NC_001477.1 Dengue virus 1, complete genome", g1)])
+    (proj / "additional.txt").write_text("9606 dengue1.fasta\n")
+    # reads: slices of g1 and g2 + one random read
+    (proj / "fastq").mkdir()
+    reads = [("r1", g1[10:110]), ("r2", g2[50:150]),
+             ("r3", random_genome(rng, 100)), ("r4", g1[200:300])]
+    write_fastq(proj / "fastq/test.fastq", reads)
+
+    overrides = {
+        "httpBaseURL": f"file://{mirror}",
+        "refseq.httpBaseURL": f"file://{mirror}/refseq",
+        "matchBatchSize": "64",
+    }
+    common = Common(base)
+    project = Project(common, "dengue1", overrides=overrides)
+    return project, g1, g2, reads
+
+
+def _wrap(seq: bytes, n=70):
+    s = seq.decode()
+    return "\n".join(s[i:i + n] for i in range(0, len(s), n)) + "\n"
+
+
+def kmer_count(g: bytes) -> int:
+    return len(g) - K + 1
+
+
+def test_db_build_and_update(world):
+    project, g1, g2, _ = world
+    maker = GSMaker(project)
+
+    filldb = maker.goal("filldb")
+    db = filldb.get()
+    stats = db.stats()
+    # after fill: g1 k-mers at 11053, g2 k-mers at 11060 (all unique in the
+    # random genomes with overwhelming probability)
+    assert stats["11053"] > 0 and stats["11060"] > 0
+    assert stats[None] == stats["11053"] + stats["11060"]
+
+    updatedb = maker.goal("updatedb")
+    db2 = updatedb.get()
+    stats2 = db2.stats()
+    # g1's k-mers moved to the LCA of 11053 and 9606 = root "1"
+    assert stats2.get("11053", 0) == 0
+    assert stats2["1"] == stats["11053"]
+    assert stats2["11060"] == stats["11060"]
+    assert stats2[None] == stats[None]
+
+    maker.goal("db").make()
+    assert project.db_file.exists()
+    loaded = Database.load(project.db_file)
+    assert loaded.md5
+    np.testing.assert_array_equal(loaded.table.keys, db2.table.keys)
+    assert loaded.stats() == stats2
+
+    # requested flags survive the roundtrip (12637's descendants incl. 11053)
+    t = loaded.tree
+    assert t.requested[t.get("11053")]
+    assert t.requested[t.get("11060")]
+
+
+def test_match_goal(world):
+    project, g1, g2, reads = world
+    project.config.set_override("writeKrakenStyleOut", "true")
+    maker = GSMaker(project, fastq_args=[str(project.fastq_dir / "test.fastq")],
+                    key="test")
+    maker.goal("match").make()
+    csv = project.output_file("match", "csv", key="test")
+    assert csv.exists()
+    lines = csv.read_text().splitlines()
+    assert lines[0].startswith("pos;level;name;rank;taxid;reads;")
+    rows = {l.split(";")[4]: l.split(";") for l in lines[1:]}
+    # TOTAL row
+    total = rows[""]
+    assert total[2] == "TOTAL"
+    assert int(total[5]) == 4          # 4 reads
+    # r1 and r4 classify to "1" (g1 k-mers moved there), r2 to 11060
+    assert int(rows["1"][5]) == 2
+    assert int(rows["11060"][5]) == 1
+    # kmers per read = 100 - 31 + 1 = 70
+    assert int(rows["11060"][7]) == 70          # kmers column
+    assert int(rows["11060"][8]) == 70          # unique kmers
+    assert int(rows["1"][7]) == 140
+    # kraken out written
+    out = project.output_file("matchres", "kraken_out", key="test")
+    assert out.exists()
+    out_lines = out.read_bytes().splitlines()
+    assert len(out_lines) == 4
+    assert out_lines[0].startswith(b"C\tr1\t1\t100\t1:70")
+    assert out_lines[2].startswith(b"U\tr3\t0\t100\t0:70")
+
+    # result object API
+    res = maker.goal("matchres").get()["test"]
+    assert res.global_stats.reads == 4
+
+
+def test_dbinfo_and_db2fastq(world):
+    project, g1, g2, _ = world
+    maker = GSMaker(project, taxids_arg="11060")
+    maker.goal("dbinfo").make()
+    info = project.db_info_file.read_text().splitlines()
+    assert info[0].startswith("pos;level;name;rank;taxid;stored kmers;")
+    assert any(";11060;" in l and ";true;" in l for l in info)
+
+    maker.goal("db2fastq").make()
+    f = project.output_file("db2fastq", "fastq", key="11060", gzip=True)
+    assert f.exists()
+    import gzip as gz
+    data = gz.open(f, "rb").read().splitlines()
+    assert len(data) == 4 * kmer_count(g2)
+    # each read is a k-mer of g2 (canonical form)
+    from genestrip_tpu.ops.kmer import window_kmers_np
+    from genestrip_tpu.utils.dna import seq_to_codes
+    kms, _ = window_kmers_np(seq_to_codes(g2), K)
+    got0 = data[1]
+    gk, _ = window_kmers_np(seq_to_codes(got0), K)
+    assert gk[0] in kms
+
+
+def test_filter_goal(world):
+    project, g1, g2, reads = world
+    project.config.set_override("writeDumpedFastq", "true")
+    maker = GSMaker(project, fastq_args=[str(project.fastq_dir / "test.fastq")],
+                    key="test")
+    maker.goal("filter").make()
+    f = project.output_file("filter", "fastq_res", key="test", gzip=True)
+    assert f.exists()
+    import gzip as gz
+    names = [l[1:].split()[0] for l in gz.open(f, "rt").read().splitlines()[::4]]
+    # r1/r2/r4 hit requested-node k-mers... after the update g1 k-mers moved to
+    # the root, which is NOT requested — so only r2 (11060) is retained.
+    assert names == ["r2"]
+    dumped = project.output_file("dumped", "fastq_res",
+                                 base_file=f.name, gzip=True)
+    assert dumped.exists()
+    dnames = [l[1:].split()[0] for l in gz.open(dumped, "rt").read().splitlines()[::4]]
+    assert dnames == ["r1", "r3", "r4"]
+
+
+def test_clean_and_rebuild(world):
+    project, *_ = world
+    maker = GSMaker(project)
+    maker.goal("db").make()
+    assert project.db_file.exists()
+    assert not project.temp_db_file.exists()   # removed after final save
+    # goal is lazily skipped when output exists
+    mtime = project.db_file.stat().st_mtime
+    maker2 = GSMaker(project)
+    maker2.goal("db").make()
+    assert project.db_file.stat().st_mtime == mtime
+    maker2.goal("db").clean()
+    assert not project.db_file.exists()
