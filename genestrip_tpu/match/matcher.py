@@ -36,9 +36,6 @@ class Matcher:
         self.batch_size = batch_size
         self.max_kmer_res_counts = max_kmer_res_counts
         self.write_all = write_all
-        if cfg.threshold > 1:
-            raise NotImplementedError(
-                "minKMersForClass > 1 (threshold promotion) is not implemented yet")
         self.cfg = cfg
         T = len(tree)
         self.n_nodes = T
@@ -49,6 +46,7 @@ class Matcher:
         self._node_of_value = jnp.asarray(tree.node_of_value(table))
         self._tout = jnp.asarray(tree.tout)
         self._anc = jnp.asarray(tree.ancestor_at_depth)
+        self._depth = jnp.asarray(np.asarray(tree.depth, np.int32))
         self.reset()
 
     def reset(self):
@@ -109,7 +107,7 @@ class Matcher:
                          self._keys_hi, self._keys_lo, self._vidx,
                          self._node_of_value, self._tout, self._anc,
                          jnp.asarray(codes), jnp.asarray(lengths),
-                         self._seen, self._counts)
+                         self._seen, self._counts, self._depth)
         self._seen = out["seen"]
         self._counts = out["counts"]
 
@@ -215,6 +213,9 @@ class Matcher:
     def _build_result(self) -> MatchingResult:
         tree = self.tree
         unique = self._unique_per_node() if self.cfg.with_unique else None
+        count_map = (self._max_kmer_counts()
+                     if self.cfg.with_counts and self.max_kmer_res_counts > 0
+                     else None)
         taxid2stats: dict[str, CountsPerTaxid] = {}
         touched = (self.kmers > 0) | (self.reads > 0) | (self.reads1 > 0)
         for t in np.nonzero(touched)[0]:
@@ -234,9 +235,40 @@ class Matcher:
             s.class_error_sum = float(self.class_error_sum[t])
             s.class_error_squared_sum = float(self.class_error_sq_sum[t])
             s.unique_kmers = int(unique[t]) if unique is not None else -1
+            if count_map is not None:
+                s.max_kmer_counts = count_map.get(tree.taxids[t])
             taxid2stats[tree.taxids[t]] = s
         return MatchingResult(self.cfg.k, taxid2stats, self.db_md5,
-                              self.total_reads, self.total_kmers, self.total_bps)
+                              self.total_reads, self.total_kmers, self.total_bps,
+                              total_max_counts=(count_map.get(None)
+                                                if count_map is not None else None))
+
+    def _max_kmer_counts(self) -> dict:
+        """Top-N per-k-mer match counts per taxid among its matched k-mers,
+        plus the overall top-N under the None key (ref:
+        KMerUniqueCounterBits.getMaxCountsCounts:172-199). The reference's
+        count vector is a short; counts saturate at 32767."""
+        N = self.max_kmer_res_counts
+        seen = np.asarray(self._seen)[:-1] > 0
+        counts = np.minimum(np.asarray(self._counts)[:-1], 32767)
+        sel = np.nonzero(seen)[0]
+        out: dict = {None: [0] * N}
+        if len(sel) == 0:
+            return out
+        c = counts[sel].astype(np.int64)
+        vi = self.table.value_idx[sel].astype(np.int64)
+        # per value: top-N counts descending (zero-padded)
+        order = np.lexsort((-c, vi))
+        vi_s, c_s = vi[order], c[order]
+        starts = np.nonzero(np.concatenate([[True], vi_s[1:] != vi_s[:-1]]))[0]
+        ends = np.concatenate([starts[1:], [len(vi_s)]])
+        for s0, e0 in zip(starts, ends):
+            taxid = self.table.values[int(vi_s[s0])]
+            top = c_s[s0:min(e0, s0 + N)].tolist()
+            out[taxid] = top + [0] * (N - len(top))
+        total = np.sort(c)[::-1][:N].tolist()
+        out[None] = total + [0] * (N - len(total))
+        return out
 
     def _unique_per_node(self) -> np.ndarray:
         """Unique k-mers per node: segment-sum of the seen bits over the

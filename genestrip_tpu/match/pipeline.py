@@ -38,8 +38,15 @@ TPU redesign processes a [B, L] batch of packed reads as pure array ops:
     (ref: KMerUniqueCounterBits.putInlined:117-143 — the lock-striped bit
     set becomes a scatter-max; positions are sorted-table ranks).
 
-minKMersForClass > 1 (threshold promotion, ref :488-492) is handled by a
-host-side exact fallback in matcher.py, not here (non-default config).
+ 6. threshold promotion (minKMersForClass > 1, ref :487-507 +
+    SmallTaxTree.lowestNodeWhereSumAboveThreshold:208-221): each tie
+    candidate is promoted to its deepest ancestor a where the number of hit
+    windows whose node lies on the candidate..a path segment reaches the
+    threshold (null if the candidate's whole root path stays below it); the
+    classification is the LCA of the promoted nodes with null propagation,
+    and readKmers is recomputed as the path sum of the promoted first-best
+    candidate. Vectorized via a per-(read, candidate) histogram of hit
+    counts over ancestor depth + suffix sums.
 """
 
 from __future__ import annotations
@@ -85,7 +92,7 @@ def _lca_pair(anc, a, b):
                    donate_argnames=("seen", "counts"))
 def match_step(cfg: MatchConfig, n_table: int, n_nodes: int,
                keys_hi, keys_lo, vidx, node_of_value, tout, anc,
-               codes, lengths, seen, counts):
+               codes, lengths, seen, counts, depth=None):
     """One batch of reads against the table. Returns per-read and per-node stats.
 
     seen/counts are donated unique-counter state ([n_table+1] uint8/int32;
@@ -237,16 +244,66 @@ def match_step(cfg: MatchConfig, n_table: int, n_nodes: int,
 
     # ---- winner: LCA of all candidates achieving the best sum --------------
     is_best = (sums == best[:, None]) & (cand >= 0) & (best[:, None] > 0)
+
+    if cfg.threshold > 1:
+        # threshold promotion (ref :487-492 + lowestNodeWhereSumAboveThreshold)
+        assert depth is not None, "threshold > 1 requires the node depth array"
+        D = anc.shape[1]
+        w_idx2 = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+        rs_idx = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(run_start_m, w_idx2, -1), axis=1)
+        run_cnt = jnp.where(run_end_m, w_idx2 - rs_idx + 1, 0)
+        # hit labels that are ancestor-or-equal of each candidate
+        sn_e = s_node[:, None, :]
+        tout_sn = tout[jnp.maximum(s_node, 0)][:, None, :]
+        c_e2 = cand[:, :, None]
+        anc_ok = (sn_e >= 0) & (c_e2 >= 0) & (sn_e <= c_e2) & (c_e2 < tout_sn)
+        weighted = jnp.where(anc_ok, run_cnt[:, None, :], 0).astype(jnp.float32)
+        d_lab = jnp.where(run_end_m & (s_node >= 0),
+                          depth[jnp.maximum(s_node, 0)], D)
+        onehot = (d_lab[:, :, None] == jax.lax.broadcasted_iota(
+            jnp.int32, (B, W, D), 2)).astype(jnp.float32)
+        # hist[b,p,d] = hit windows on candidate p's root path at depth d
+        hist = jnp.einsum("bpw,bwd->bpd", weighted, onehot,
+                          preferred_element_type=jnp.float32)
+        # suffix[b,p,j] = running sum of the walk candidate -> depth-j ancestor
+        suffix = jnp.cumsum(hist[:, :, ::-1], axis=2)[:, :, ::-1].astype(jnp.int32)
+        suffix_pad = jnp.concatenate(
+            [suffix, jnp.zeros((B, cfg.max_paths, 1), jnp.int32)], axis=2)
+        # deepest ancestor where the running sum reaches the threshold
+        promo_depth = jnp.sum(suffix >= cfg.threshold, axis=2) - 1
+        promoted = jnp.where(
+            (cand >= 0) & (promo_depth >= 0),
+            anc[jnp.maximum(cand, 0), jnp.maximum(promo_depth, 0)], -1)
+        # sumCounts(promoted) for the stale-count recompute (ref :503-507)
+        sum_at_promo = suffix_pad[:, :, 0] - jnp.take_along_axis(
+            suffix_pad, jnp.maximum(promo_depth, 0)[:, :, None] + 1,
+            axis=2)[:, :, 0]
+        fold_nodes = promoted
+    else:
+        fold_nodes = cand
+
     acc = jnp.full((B,), -1, jnp.int32)
+    any_null = jnp.zeros((B,), bool)
     for p in range(cfg.max_paths):
         sel = is_best[:, p]
-        cp = cand[:, p]
+        cp = fold_nodes[:, p]
+        any_null = any_null | (sel & (cp < 0))
         pair = _lca_pair(anc, jnp.maximum(acc, 0), jnp.maximum(cp, 0))
-        acc = jnp.where(sel, jnp.where(acc < 0, cp, pair), acc)
+        acc = jnp.where(sel & (cp >= 0), jnp.where(acc < 0, cp, pair), acc)
 
-    classified = found & ~tax_failed & has_cand
+    classified = found & ~tax_failed & has_cand & ~any_null
     class_node = jnp.where(classified, acc, -1)
-    read_kmers = jnp.where(classified, best, 0)
+    # A null class node (threshold promotion exhausted every tie's root path)
+    # makes matchRead return false — the read is dropped from the filtered
+    # fastq too (ref :497-499). Tax-error-aborted reads still return found.
+    out["found"] = found & (tax_failed | ~any_null)
+    if cfg.threshold > 1:
+        first_best = jnp.argmax(is_best, axis=1)
+        rk = jnp.take_along_axis(sum_at_promo, first_best[:, None], axis=1)[:, 0]
+        read_kmers = jnp.where(classified, rk, 0)
+    else:
+        read_kmers = jnp.where(classified, best, 0)
 
     # ---- class error check (gates per-tax stats only, ref :508-510) --------
     class_err_c = (n_win - read_kmers).astype(jnp.float64)

@@ -75,18 +75,24 @@ def make_reads(rng, genomes, n_reads=300):
     return reads
 
 
-@pytest.mark.parametrize("tax_err,class_err", [(-1.0, -1.0), (0.5, -1.0), (3.0, 0.2)])
-def test_pipeline_matches_golden(tmp_path, tax_err, class_err):
-    rng = np.random.default_rng(12345 + int(tax_err * 10) + int(class_err * 10))
+@pytest.mark.parametrize("tax_err,class_err,threshold", [
+    (-1.0, -1.0, 1), (0.5, -1.0, 1), (3.0, 0.2, 1),
+    (-1.0, -1.0, 2), (-1.0, -1.0, 5), (0.5, 0.3, 3),
+])
+def test_pipeline_matches_golden(tmp_path, tax_err, class_err, threshold):
+    rng = np.random.default_rng(12345 + int(tax_err * 10) + int(class_err * 10)
+                                + 1000 * threshold)
     table, small, genomes = build_world(tmp_path, rng)
     reads = make_reads(rng, genomes)
     fastq = write_fastq(tmp_path / "test.fastq", [(d, s) for d, s in reads])
 
-    golden = GoldenMatcher(table, small, K, max_tax_err=tax_err, max_class_err=class_err)
+    golden = GoldenMatcher(table, small, K, max_tax_err=tax_err,
+                           max_class_err=class_err, threshold=threshold)
     for _, seq in reads:
         golden.match_read(seq_to_codes(seq))
 
-    cfg = MatchConfig(k=K, max_read_tax_error=tax_err, max_read_class_error=class_err)
+    cfg = MatchConfig(k=K, max_read_tax_error=tax_err, max_read_class_error=class_err,
+                      threshold=threshold)
     m = Matcher(table, small, cfg, db_md5="f00", batch_size=64)
     kraken = io.BytesIO()
     filtered = io.BytesIO()
@@ -136,6 +142,31 @@ def test_pipeline_matches_golden(tmp_path, tax_err, class_err):
     assert m.total_reads == len(reads)
     assert m.total_bps == sum(len(s) for _, s in reads)
     assert m.total_kmers == sum(max(len(s) - K + 1, 0) for _, s in reads)
+
+
+def test_max_kmer_counts(tmp_path):
+    """Top-N per-k-mer match counts (ref: getMaxCountsCounts:172-199)."""
+    rng = np.random.default_rng(77)
+    table, small, genomes = build_world(tmp_path, rng)
+    g = genomes["11053"]
+    # read r1 covers g[0:40] once; r2 covers g[0:25] twice more
+    reads = [("r1", g[0:40]), ("r2", g[0:25]), ("r3", g[0:25])]
+    fastq = write_fastq(tmp_path / "t.fastq", reads)
+    m = Matcher(table, small, MatchConfig(k=K, with_counts=True),
+                batch_size=4, max_kmer_res_counts=5)
+    res = m.run([str(fastq)])
+    cm = m._max_kmer_counts()
+    # windows of g[0:25] hit 3x (15 windows), rest of g[0:40] hit once
+    assert cm["11053"] == [3, 3, 3, 3, 3]
+    assert cm[None] == [3, 3, 3, 3, 3]
+    assert res.with_max_kmer_counts
+    assert res.taxid2stats["11053"].max_kmer_counts == [3, 3, 3, 3, 3]
+    # a taxid with fewer matched k-mers than N pads with zeros
+    m2 = Matcher(table, small, MatchConfig(k=K, with_counts=True),
+                 batch_size=4, max_kmer_res_counts=5)
+    reads2 = [("q1", g[0:K + 1])]   # 2 k-mers, each hit once
+    m2.run([str(write_fastq(tmp_path / "t2.fastq", reads2))])
+    assert m2._max_kmer_counts()["11053"] == [1, 1, 0, 0, 0]
 
 
 def test_max_contig_descriptor(tmp_path):
