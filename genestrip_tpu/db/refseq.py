@@ -52,9 +52,13 @@ class AccessionMap:
 
     def __init__(self):
         self._map: dict[str, object] = {}
+        # regions per tax node (ref: TaxTree.java:519 node.refSeqRegions++,
+        # consumed by TaxNodesFromGenbankGoal)
+        self.region_counts: dict[object, int] = {}
 
     def put(self, accession: str, node) -> None:
         self._map[accession] = node
+        self.region_counts[node] = self.region_counts.get(node, 0) + 1
 
     def get(self, accession: str, complete_genomes_only: bool = False):
         if complete_genomes_only and not accession.startswith(COMPLETE_GENOMIC_PREFIXES):

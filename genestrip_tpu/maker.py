@@ -17,6 +17,7 @@ from pathlib import Path
 
 from genestrip_tpu import __version__
 from genestrip_tpu.db import build as dbbuild
+from genestrip_tpu.db import genbank as gb
 from genestrip_tpu.db.download import download, file_md5
 from genestrip_tpu.db import refseq as rs
 from genestrip_tpu.io.streams import StreamingResource, open_output
@@ -110,10 +111,35 @@ class GSMaker:
                                     taxtree.get(), categories.get(),
                                     p["seqType"], p["refseq.status"])))
 
+        # ---- genbank (ref: GSMaker.java:278-292) ----
+        taxfromgenbank = reg(ObjectGoal(
+            p, "taxfromgenbank", deps=[categories, taxnodes, accmap],
+            func=lambda: gb.tax_nodes_for_genbank(
+                taxnodes.get(),
+                # the accession map (and thus the RefSeq catalog) is only
+                # needed when the region-count limit is actually active
+                (accmap.get().region_counts
+                 if p["refseq.filldb"] and p["refSeq.limitForGenbankAccess"] > 0
+                 and p["seqType"] != "RNA" else {}),
+                p["refSeq.limitForGenbankAccess"], p["refSeq.limitForGenbankRank"],
+                p["refseq.filldb"], p["seqType"])))
+        assemblydownload = reg(_AssemblyDownloadGoal(p, deps=[commonsetup]))
+        # assemblydownload is deliberately NOT a (strong) dependency: it is
+        # only made on demand inside _genbank_entries when the wanted-node set
+        # is non-empty (ref: FastaFilesFromGenbankGoal.isWeakDependency).
+        fastasgenbank = reg(ObjectGoal(
+            p, "fastasgenbank", deps=[taxtree, taxfromgenbank],
+            func=lambda: self._genbank_entries(
+                taxtree.get(), taxfromgenbank.get(), assemblydownload)))
+        fastasgenbankdl = reg(_GenbankFnaDownloadGoal(p, fastasgenbank))
+
         # ---- additional fastas ----
         adddownloads = reg(_AdditionalDownloadsGoal(p, deps=[setup]))
-        addfastas = reg(ObjectGoal(p, "addfastas", deps=[taxtree, adddownloads],
-                                   func=lambda: self._additional_fastas(taxtree.get())))
+        addfastas = reg(ObjectGoal(
+            p, "addfastas",
+            deps=[taxtree, adddownloads, fastasgenbank, fastasgenbankdl],
+            func=lambda: self._additional_fastas(
+                taxtree.get(), fastasgenbank, fastasgenbankdl)))
 
         # ---- db build ----
         filldb = reg(ObjectGoal(p, "filldb",
@@ -160,6 +186,14 @@ class GSMaker:
                                         func=lambda: self._db2fastq_taxids(loaddb.get())))
         reg(_DB2FastqGoal(p, loaddb, db2fastqtaxids))
         reg(_SVGTaxTreeGoal(p, loaddb))
+
+        # ---- refseq extraction (ref: GSMaker.java:302-307) ----
+        extractrefseqfasta = reg(ObjectGoal(
+            p, "extractrefseqfasta",
+            deps=[taxtree, taxnodes, categories, accmap, refseqfna, setup],
+            func=lambda: self._extract_refseq_fastas(
+                taxnodes.get(), categories.get(), accmap, refseqfna)))
+        reg(_ExtractRefSeqCSVGoal(p, extractrefseqfasta))
 
         reg(Goal(p, "genall", deps=[db, index], user_goal=True))
         reg(_ClearGoal(p))
@@ -244,11 +278,39 @@ class GSMaker:
             datetime.datetime.now().strftime("%Y/%m/%d %H:%M:%S")
         return Database(filled.table, filled.tree, p.all_properties())
 
-    def _additional_fastas(self, tree: TaxTree) -> dict:
+    def _genbank_entries(self, tree: TaxTree, wanted_nodes, assemblydownload) -> dict:
+        """Select Genbank assembly entries per tax node
+        (ref: goals/genbank/FastaFilesFromGenbankGoal.doMakeThis:103-150)."""
+        p = self.project
+        if not wanted_nodes:
+            return {}
+        # Optimization carried over from the reference: only download the
+        # assembly summary when it is actually needed (weak dependency).
+        assemblydownload.make()
+        qualities = gb.parse_quality_list(p["genbank.fastaQualities"])
+        entries, total = gb.read_assembly_summary(
+            p.common.genbank_dir / gb.ASSEMBLY_SUM_GENBANK, tree,
+            filter_nodes=set(wanted_nodes), qualities=qualities,
+            reference_only=p["genbank.referenceOnly"])
+        entries = gb.cap_entries_keep_best(entries, p["genbank.maxPerTaxid"])
+        log.info("Genbank entries selected for download: %d (of %d total rows)",
+                 sum(len(v) for v in entries.values()), total)
+        return entries
+
+    def _additional_fastas(self, tree: TaxTree, fastasgenbank=None,
+                           fastasgenbankdl=None) -> dict:
         """Parse additional.txt: '<taxid> <file> [<URL> [<md5>]]'
-        (ref: goals/AdditionalFastasGoal + AdditionalDownloadsGoal)."""
+        (ref: goals/AdditionalFastasGoal + AdditionalDownloadsGoal), then merge
+        downloaded Genbank fastas (ref: AdditionalFastasGoal.java:108-116)."""
         p = self.project
         out = {}
+        if fastasgenbank is not None and fastasgenbank.get():
+            fastasgenbankdl.make()
+            for node, entries in fastasgenbank.get().items():
+                for e in entries:
+                    path = p.common.genbank_dir / e.file_name
+                    if path.exists():
+                        out[path] = node
         f = p.additional_file
         if not f.exists():
             return out
@@ -275,6 +337,40 @@ class GSMaker:
                 continue
             out[path] = node
         return out
+
+    def _extract_refseq_fastas(self, tax_nodes, categories, accmap_goal,
+                               refseqfna) -> dict[str, str]:
+        """Split the bundled RefSeq fna files into one fasta per included
+        accession (ref: goals/refseq/ExtractRefSeqFastasGoal.java). Headers
+        are rewritten to '>name|kraken:taxid|<taxid>' for kraken2 library
+        compatibility. Returns {region name: taxid}."""
+        from genestrip_tpu.io.fasta import iter_fasta_regions
+        p = self.project
+        amap = accmap_goal.get()
+        complete_only = p["refseq.completeGenomesOnly"]
+        gzip_out = p["reqseq.extract.gzip"]
+        nodes = set(tax_nodes)
+        descr2taxid: dict[str, str] = {}
+        files = [f for f in refseqfna.files
+                 if rs.category_for_file_name(os.path.basename(str(f)), categories)]
+        for f in files:
+            if not Path(f).exists():
+                continue
+            with open_input(f) as stream:
+                for header, seq in iter_fasta_regions(stream):
+                    sp = header.find(b" ")
+                    name = (header[:sp] if sp >= 0 else header).decode()
+                    node = amap.get(name, complete_only)
+                    if node is None or (nodes and node not in nodes):
+                        continue
+                    descr2taxid[name] = node.tax_id
+                    out = p.fasta_dir / (name + (".fa.gz" if gzip_out else ".fa"))
+                    with open_output(out) as w:
+                        w.write(f">{name}|kraken:taxid|{node.tax_id}\n".encode())
+                        for i in range(0, len(seq), 70):
+                            w.write(seq[i:i + 70])
+                            w.write(b"\n")
+        return descr2taxid
 
     def _fastq_map(self) -> dict[str, list]:
         """Parse -f/-m into {key: [StreamingResource]} (ref: goals/FastqMapGoal)."""
@@ -476,6 +572,93 @@ class _FnaFilesDownloadGoal(FileGoal):
 
     def keep_on_clean_all(self):
         return True
+
+
+class _AssemblyDownloadGoal(FileGoal):
+    """Download assembly_summary_genbank.txt
+    (ref: goals/genbank/AssemblyFileDownloadGoal, FTP dir /genomes/genbank)."""
+
+    def __init__(self, project, deps):
+        super().__init__(project, "assemblydownload",
+                         [project.common.genbank_dir / gb.ASSEMBLY_SUM_GENBANK],
+                         deps)
+
+    def make_file(self, f):
+        p = self.project
+        download(p["httpBaseURL"] + "/genomes/genbank/" + f.name, f,
+                 tries=p["maxDownloadTries"])
+
+    def keep_on_clean_all(self):
+        return True
+
+
+class _GenbankFnaDownloadGoal(FileGoal):
+    """Download the selected Genbank assembly fastas
+    (ref: goals/genbank/FastaFilesGenbankDownloadGoal)."""
+
+    def __init__(self, project, entries_goal):
+        super().__init__(project, "fastasgenbankdl", None, [entries_goal])
+        self.entries_goal = entries_goal
+        self._url_by_name = {}
+
+    def _resolve(self):
+        p = self.project
+        files = []
+        for entries in self.entries_goal.get().values():
+            for e in entries:
+                f = p.common.genbank_dir / e.file_name
+                files.append(f)
+                self._url_by_name[f.name] = e.download_url
+        self._files = files
+
+    @property
+    def files(self):
+        if not self._files:
+            self._resolve()
+        return self._files
+
+    def is_made(self):
+        if not self._files:
+            if not self.entries_goal.is_made():
+                return False
+            self._resolve()
+            if not self._files:
+                return True
+        return super().is_made()
+
+    def do_make(self):
+        self._resolve()
+        super().do_make()
+
+    def make_file(self, f):
+        p = self.project
+        try:
+            download(self._url_by_name[f.name], f, tries=p["maxDownloadTries"])
+        except IOError:
+            if not p["ignoreMissingFastas"]:
+                raise
+            log.warning("Ignoring missing Genbank fasta %s", f.name)
+
+    def keep_on_clean_all(self):
+        return True
+
+
+class _ExtractRefSeqCSVGoal(FileGoal):
+    """Manifest CSV of the extracted per-accession fastas
+    (ref: goals/refseq/ExtractRefSeqCSVGoal.java)."""
+
+    def __init__(self, project, extract_goal):
+        super().__init__(project, "extractrefseqcsv",
+                         [project.output_file("extractrefseqcsv", "csv")],
+                         [extract_goal])
+        self.extract_goal = extract_goal
+
+    def make_file(self, f):
+        descr2taxid = self.extract_goal.get()
+        with open(f, "w", encoding="utf-8") as out:
+            out.write("refseq descr; taxid;\n")
+            for name, taxid in descr2taxid.items():
+                out.write(f"{name};{taxid};\n")
 
 
 class _AdditionalDownloadsGoal(Goal):
