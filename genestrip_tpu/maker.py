@@ -187,6 +187,16 @@ class GSMaker:
         reg(_DB2FastqGoal(p, loaddb, db2fastqtaxids))
         reg(_SVGTaxTreeGoal(p, loaddb))
 
+        # ---- db quality (ref: ft module, FinerTreeMaker.java:46-119) ----
+        dbqualitycounts = reg(ObjectGoal(
+            p, "dbqualitycounts",
+            deps=[taxtree, taxnodes, categories, accmap, refseqfna, addfastas,
+                  loaddb],
+            func=lambda: self._db_quality_counts(
+                categories.get(), accmap, refseqfna, addfastas.get(),
+                loaddb.get())))
+        reg(_DBQualityCSVGoal(p, loaddb, dbqualitycounts))
+
         # ---- refseq extraction (ref: GSMaker.java:302-307) ----
         extractrefseqfasta = reg(ObjectGoal(
             p, "extractrefseqfasta",
@@ -201,7 +211,7 @@ class GSMaker:
 
         for name in ("db", "dbinfo", "db2fastq", "index", "match", "matchlr",
                      "filter", "extract", "svgtaxtree", "genall", "clear",
-                     "fasta2fastq"):
+                     "fasta2fastq", "dbquality"):
             m.goals[name].user_goal = True
 
     # -- goal bodies ---------------------------------------------------------
@@ -337,6 +347,22 @@ class GSMaker:
                 continue
             out[path] = node
         return out
+
+    def _db_quality_counts(self, categories, accmap_goal, refseqfna,
+                           additional, db):
+        """Run the quality scan over the same inputs as the update phase
+        (ref: ft FinerTreeMaker + DBQualityCountsGoal)."""
+        from genestrip_tpu import ft
+        p = self.project
+        opts = self._build_opts()
+        amap = accmap_goal.get() if p["refseq.filldb"] else None
+        scanner = ft.QualityScanner(db, amap, opts)
+        files, additional = self._db_input_files(categories, refseqfna, additional)
+        for f in files:
+            scanner.feed_file(f)
+        for f, node in additional.items():
+            scanner.feed_file(f, mapped_node=node)
+        return scanner.finish()
 
     def _extract_refseq_fastas(self, tax_nodes, categories, accmap_goal,
                                refseqfna) -> dict[str, str]:
@@ -641,6 +667,23 @@ class _GenbankFnaDownloadGoal(FileGoal):
 
     def keep_on_clean_all(self):
         return True
+
+
+class _DBQualityCSVGoal(FileGoal):
+    """Quality CSV (ref: ft DBQualityCSVGoal)."""
+
+    def __init__(self, project, loaddb_goal, counts_goal):
+        super().__init__(project, "dbquality",
+                         [project.output_file("dbquality", "csv")],
+                         [counts_goal])
+        self.loaddb_goal = loaddb_goal
+        self.counts_goal = counts_goal
+
+    def make_file(self, f):
+        from genestrip_tpu import ft
+        with open(f, "w", encoding="utf-8") as out:
+            ft.write_quality_csv(self.loaddb_goal.get(), self.counts_goal.get(),
+                                 out)
 
 
 class _ExtractRefSeqCSVGoal(FileGoal):

@@ -216,3 +216,33 @@ def test_clean_and_rebuild(world):
     assert project.db_file.stat().st_mtime == mtime
     maker2.goal("db").clean()
     assert not project.db_file.exists()
+
+
+def test_dbquality_goal(world):
+    """The ft-module equivalent: per-taxid tp / tp+fp / tp+fn quality scan
+    (ref: ft DBQualityCountsGoal + DBQualityCSVGoal)."""
+    project, g1, g2, _ = world
+    maker = GSMaker(project)
+    maker.goal("dbquality").make()
+    csv = project.output_file("dbquality", "csv")
+    assert csv.exists()
+    lines = csv.read_text().splitlines()
+    assert lines[0].startswith("taxid;name;rank;parent taxid;tp;tp+fp;tp+fn;")
+    rows = {l.split(";")[0]: l.split(";") for l in lines[1:]}
+    db = Database.load(project.db_file)
+    stats = db.stats()
+    n1 = stats["1"]              # g1 k-mers, moved to root by the update
+    n2 = stats["11060"]          # g2 k-mers
+    # leaf 11053: all its k-mers are stored at root (an ancestor) -> all tp;
+    # tp+fp = path sum root..11053 = n1 (only the root holds k-mers there)
+    assert int(rows["11053"][4]) == n1 and int(rows["11053"][6]) == n1
+    assert int(rows["11053"][5]) == n1
+    # 9606 is not part of the database's compact tree (not a requested node),
+    # so—exactly like the reference's null-leafNode skip—it gets no row
+    assert "9606" not in rows
+    # leaf 11060: stored under itself -> all tp; path sum includes root's n1
+    assert int(rows["11060"][4]) == n2 and int(rows["11060"][6]) == n2
+    assert int(rows["11060"][5]) == n1 + n2
+    # aggregated species node (12637) groups its two counted leaves
+    assert "12637" in rows
+    assert int(rows["12637"][4]) == n1 + n2
