@@ -95,8 +95,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from genestrip_tpu.match.pipeline import MatchConfig, match_step
-    from genestrip_tpu.ops.kmer import split_u64
+    from genestrip_tpu.match.pipeline import MatchConfig, TableSpec, match_step
 
     t0 = time.time()
     table, tree, nov, genome = build_world(args.db_bp, args.taxa)
@@ -104,12 +103,15 @@ def main():
     t_build = time.time() - t0
 
     k = table.k
-    hi, lo = split_u64(table.keys)
-    dev = dict(
-        keys_hi=jnp.asarray(hi), keys_lo=jnp.asarray(lo),
-        vidx=jnp.asarray(table.value_idx.astype(np.int32)),
-        node_of_value=jnp.asarray(nov),
-        tout=jnp.asarray(tree.tout), anc=jnp.asarray(tree.ancestor_at_depth))
+    node_plane = nov[table.value_idx.astype(np.int64)].astype(np.int32)
+    safe = np.maximum(node_plane, 0)
+    aux = np.stack([node_plane,
+                    np.where(node_plane >= 0, tree.tout[safe], 0),
+                    np.where(node_plane >= 0, tree.depth[safe], 0)], axis=1)
+    sa = table.search_arrays(aux)
+    spec = TableSpec(sa["n"], sa["iters"], sa["shift"])
+    inter, bucket_start = sa["inter"], sa["bucket_start"]
+    anc = jnp.asarray(tree.ancestor_at_depth)
     n_table = table.entries
     n_nodes = len(tree)
     cfg = MatchConfig(k=k, return_labels=False)
@@ -122,9 +124,8 @@ def main():
     batches = [jnp.asarray(codes_all[i * B:(i + 1) * B]) for i in range(n_batches)]
 
     def step(codes, seen, counts):
-        return match_step(cfg, n_table, n_nodes, dev["keys_hi"], dev["keys_lo"],
-                          dev["vidx"], dev["node_of_value"], dev["tout"],
-                          dev["anc"], codes, lengths, seen, counts)
+        return match_step(cfg, spec, n_nodes, inter, bucket_start, anc,
+                          codes, lengths, seen, counts)
 
     # warmup / compile
     t0 = time.time()

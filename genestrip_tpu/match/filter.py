@@ -21,14 +21,17 @@ from genestrip_tpu.io.reads import BatchPacker, parse_reads
 from genestrip_tpu.io.streams import StreamingResource
 from genestrip_tpu.ops.kmer import window_kmers
 from genestrip_tpu.store.index import KmerIndex
-from genestrip_tpu.store.table import lookup_positions
+from genestrip_tpu.store.table import lookup_radix
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_index", "min_pos_count", "pos_ratio"))
-def filter_step(k: int, n_index: int, min_pos_count: int, pos_ratio: float,
-                keys_hi, keys_lo, codes, lengths):
+@functools.partial(jax.jit, static_argnames=(
+    "k", "n_index", "iters", "shift", "min_pos_count", "pos_ratio"))
+def filter_step(k: int, n_index: int, iters: int, shift: int,
+                min_pos_count: int, pos_ratio: float,
+                inter, bucket_start, codes, lengths):
     hi, lo, clean, exists = window_kmers(codes, lengths, k)
-    _, found = lookup_positions(keys_hi, keys_lo, hi, lo, n_index)
+    _, found, _ = lookup_radix(inter, bucket_start, hi, lo, n=n_index,
+                               iters=iters, shift=shift)
     contained = jnp.sum((found & clean & exists).astype(jnp.int32), axis=1)
     n_win = jnp.maximum(lengths - (k - 1), 0)
     if min_pos_count > 0:
@@ -49,7 +52,7 @@ class FastqFilter:
         self.total = 0
 
     def run(self, resources, filtered_out, dumped_out=None) -> None:
-        d = self.index.device_arrays()
+        d = self.index.search_arrays()
         for res in resources:
             if not isinstance(res, StreamingResource):
                 res = StreamingResource(res)
@@ -64,8 +67,10 @@ class FastqFilter:
                             [codes, np.full((pad, codes.shape[1]), 255, np.uint8)])
                         lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
                     acc = np.asarray(filter_step(
-                        self.index.k, d["n"], self.min_pos_count, self.pos_ratio,
-                        d["hi"], d["lo"], jnp.asarray(codes), jnp.asarray(lengths)))
+                        self.index.k, d["n"], d["iters"], d["shift"],
+                        self.min_pos_count, self.pos_ratio,
+                        d["inter"], d["bucket_start"],
+                        jnp.asarray(codes), jnp.asarray(lengths)))
                     self.total += batch.n
                     for b in range(batch.n):
                         out = filtered_out if acc[b] else dumped_out

@@ -39,14 +39,12 @@ class Matcher:
         self.cfg = cfg
         T = len(tree)
         self.n_nodes = T
-        # device-side constants
-        d = table.device_arrays()
-        self._keys_hi, self._keys_lo, self._vidx = d["hi"], d["lo"], d["vidx"]
-        self._n_table = d["n"]
-        self._node_of_value = jnp.asarray(tree.node_of_value(table))
-        self._tout = jnp.asarray(tree.tout)
+        # device-side constants (radix search arrays with fused aux planes)
+        from genestrip_tpu.match.pipeline import build_match_arrays
+        sa, self._spec = build_match_arrays(table, tree)
+        self._inter, self._bucket_start = sa["inter"], sa["bucket_start"]
+        self._n_table = sa["n"]
         self._anc = jnp.asarray(tree.ancestor_at_depth)
-        self._depth = jnp.asarray(np.asarray(tree.depth, np.int32))
         self.reset()
 
     def reset(self):
@@ -103,11 +101,10 @@ class Matcher:
             codes = np.concatenate(
                 [codes, np.full((pad, codes.shape[1]), 255, np.uint8)])
             lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
-        out = match_step(cfg, self._n_table, self.n_nodes,
-                         self._keys_hi, self._keys_lo, self._vidx,
-                         self._node_of_value, self._tout, self._anc,
+        out = match_step(cfg, self._spec, self.n_nodes,
+                         self._inter, self._bucket_start, self._anc,
                          jnp.asarray(codes), jnp.asarray(lengths),
-                         self._seen, self._counts, self._depth)
+                         self._seen, self._counts)
         self._seen = out["seen"]
         self._counts = out["counts"]
 

@@ -59,7 +59,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from genestrip_tpu.ops.kmer import window_kmers
-from genestrip_tpu.store.table import lookup_positions
+from genestrip_tpu.store.table import lookup_radix
 
 LABEL_MISS = -1
 LABEL_INVALID = -2
@@ -79,6 +79,30 @@ class MatchConfig:
     return_labels: bool = True
 
 
+@dataclass(frozen=True)
+class TableSpec:
+    """Static lookup-table geometry (see KmerTable.search_arrays)."""
+
+    n: int
+    iters: int
+    shift: int
+
+
+def build_match_arrays(table, tree):
+    """Search arrays with [node, tout, depth] aux planes + their TableSpec.
+
+    Fusing the per-position taxonomy data into the lookup rows removes the
+    vidx->node_of_value->tout/depth gather chain from the device hot path
+    (each [B, W]-sized HBM gather costs ~15-30 ms on TPU v5e at 1M lanes)."""
+    nov = tree.node_of_value(table)
+    node_plane = nov[table.value_idx.astype(np.int64)].astype(np.int32)
+    safe = np.maximum(node_plane, 0)
+    tout_plane = np.where(node_plane >= 0, tree.tout[safe], 0).astype(np.int32)
+    depth_plane = np.where(node_plane >= 0, tree.depth[safe], 0).astype(np.int32)
+    sa = table.search_arrays(np.stack([node_plane, tout_plane, depth_plane], 1))
+    return sa, TableSpec(sa["n"], sa["iters"], sa["shift"])
+
+
 def _lca_pair(anc, a, b):
     """Vectorized LCA of index vectors a, b (assumed >= 0) via ancestor table."""
     aa = anc[a]
@@ -88,29 +112,38 @@ def _lca_pair(anc, a, b):
     return jnp.where(d >= 0, jnp.take_along_axis(aa, jnp.maximum(d, 0)[..., None], axis=-1)[..., 0], -1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_table", "n_nodes"),
+@functools.partial(jax.jit, static_argnames=("cfg", "spec", "n_nodes"),
                    donate_argnames=("seen", "counts"))
-def match_step(cfg: MatchConfig, n_table: int, n_nodes: int,
-               keys_hi, keys_lo, vidx, node_of_value, tout, anc,
-               codes, lengths, seen, counts, depth=None):
+def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
+               inter, bucket_start, anc,
+               codes, lengths, seen, counts):
     """One batch of reads against the table. Returns per-read and per-node stats.
 
+    inter/bucket_start are the radix search arrays (KmerTable.search_arrays)
+    with aux planes [node, tout(node), depth(node)] fused into the rows, so
+    the verify gather of the lookup also delivers the per-window taxonomy
+    data — no separate [B, W]-sized gathers from node-indexed arrays.
     seen/counts are donated unique-counter state ([n_table+1] uint8/int32;
     last slot is a dummy scatter target).
     """
     B, L = codes.shape
     T = n_nodes
+    n_table = spec.n
     k = cfg.k
     hi, lo, clean, exists = window_kmers(codes, lengths, k)
     W = L - k + 1
     assert W < (1 << 21), "padded window count exceeds composite-sort range; chunk long reads"
 
-    pos, found_win = lookup_positions(keys_hi, keys_lo, hi, lo, n_table)
+    pos, found_win, aux = lookup_radix(inter, bucket_start, hi, lo,
+                                       n=n_table, iters=spec.iters,
+                                       shift=spec.shift)
     valid = clean & exists
     hit0 = valid & found_win
-    vi = jnp.where(hit0, vidx[jnp.where(hit0, pos, 0)], -1)
-    node = jnp.where(vi >= 0, node_of_value[jnp.maximum(vi, 0)], -1)
+    node = jnp.where(hit0, aux[..., 0], -1)
     hit = hit0 & (node >= 0)
+    # tout/depth of the window's node, fused from the lookup row
+    tout_lab = jnp.where(hit, aux[..., 1], 0)
+    depth_lab = jnp.where(hit, aux[..., 2], anc.shape[1])
     label = jnp.where(exists,
                       jnp.where(clean, jnp.where(hit, node, LABEL_MISS), LABEL_INVALID),
                       LABEL_NONE)
@@ -138,23 +171,50 @@ def match_step(cfg: MatchConfig, n_table: int, n_nodes: int,
     tnode = jnp.where(end_hit, label, T).reshape(-1)
     clen_f = jnp.where(end_hit, clen, 0).reshape(-1)
     zT = jnp.zeros(T + 1, jnp.int32)
+    # NOTE: scalar scatters only — XLA/Mosaic handles 1-element scatter-adds
+    # on a fast path; a fused [.., 3]-row scatter was measured 6x SLOWER
+    # end-to-end (falls off the fast path entirely).
     contigs = zT.at[tnode].add(jnp.where(end_hit, 1, 0).reshape(-1))[:T]
     kmers = zT.at[tnode].add(clen_f)[:T]
-    contig_sq = jnp.zeros(T + 1, jnp.float64).at[tnode].add(
-        clen_f.astype(jnp.float64) ** 2)[:T]
-    max_contig = zT.at[tnode].max(clen_f)[:T]
-    # first (read, window) achieving the per-node max, as encoded b*W+s
-    is_max = end_hit & (clen == max_contig[jnp.minimum(label, T - 1)]) & (max_contig[jnp.minimum(label, T - 1)] > 0)
-    enc = jnp.where(is_max, s_idx + W * jax.lax.broadcasted_iota(jnp.int32, (B, W), 0),
-                    jnp.iinfo(jnp.int32).max)
-    argmax_enc = jnp.full(T + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
-        jnp.where(is_max, label, T).reshape(-1)].min(enc.reshape(-1))[:T]
+    # Per-batch sum of clen^2 is bounded by B * W * max_clen <= B*W*W: i32 is
+    # exact when that cannot overflow (short reads), f64 otherwise.
+    if B * W * W < 2**31:
+        contig_sq = zT.at[tnode].add(clen_f * clen_f)[:T]
+    else:
+        contig_sq = jnp.zeros(T + 1, jnp.float64).at[tnode].add(
+            clen_f.astype(jnp.float64) ** 2)[:T]
+    # max contig + first achiever in ONE scatter-min of a composite
+    # ((W - clen) in the high bits, encoded (read, window) below): the min
+    # composite per node IS (max clen, smallest enc) — replacing the
+    # reference's two-pass max + argmax and its extra [B, W] gather.
+    enc_bits = max(int(np.ceil(np.log2(B * W))), 1)
+    if enc_bits + int(np.ceil(np.log2(W + 2))) <= 31:
+        enc = (s_idx + W * jax.lax.broadcasted_iota(jnp.int32, (B, W), 0)).reshape(-1)
+        comp_mc = jnp.where(end_hit.reshape(-1),
+                            ((W - clen.reshape(-1)) << enc_bits) | enc,
+                            jnp.iinfo(jnp.int32).max)
+        mc = jnp.full(T + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
+            tnode].min(comp_mc)[:T]
+        has_mc = mc != jnp.iinfo(jnp.int32).max
+        max_contig = jnp.where(has_mc, W - (mc >> enc_bits), 0)
+        argmax_enc = jnp.where(has_mc, mc & ((1 << enc_bits) - 1),
+                               jnp.iinfo(jnp.int32).max)
+    else:
+        max_contig = zT.at[tnode].max(clen_f)[:T]
+        is_max = end_hit & (clen == max_contig[jnp.minimum(label, T - 1)]) & (max_contig[jnp.minimum(label, T - 1)] > 0)
+        enc = jnp.where(is_max, s_idx + W * jax.lax.broadcasted_iota(jnp.int32, (B, W), 0),
+                        jnp.iinfo(jnp.int32).max)
+        argmax_enc = jnp.full(T + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
+            jnp.where(is_max, label, T).reshape(-1)].min(enc.reshape(-1))[:T]
 
     # ---- per-read distinct nodes: sort (label, s) composites ---------------
     SHIFT = 1 << 21  # > max W we ever pad to; label fits in the high bits
     comp = label.astype(jnp.int64) * SHIFT + s_idx.astype(jnp.int64)
     comp = jnp.where(hit, comp, jnp.int64(jnp.iinfo(jnp.int64).max))
-    sorted_comp = jnp.sort(comp, axis=1)
+    # carry the nodes' tout/depth through the sort instead of re-gathering
+    # them from node-indexed arrays afterwards (HBM gathers dominate)
+    sorted_comp, s_tout, s_depth = jax.lax.sort(
+        (comp, tout_lab, depth_lab), dimension=1, num_keys=1)
     s_node = jnp.where(sorted_comp < jnp.iinfo(jnp.int64).max,
                        (sorted_comp // SHIFT).astype(jnp.int32), -1)
     s_first = jnp.where(s_node >= 0, (sorted_comp % SHIFT).astype(jnp.int32), 0)
@@ -194,7 +254,7 @@ def match_step(cfg: MatchConfig, n_table: int, n_nodes: int,
     # follow it: the run's successor in sorted order is its smallest-tin
     # descendant candidate. Non-maximal iff that successor is inside tout.
     succ = jnp.where(sn >= 0, sn, jnp.iinfo(jnp.int32).max)
-    non_max = run_end_m & (succ < tout[jnp.maximum(s_node, 0)])
+    non_max = run_end_m & (succ < s_tout)
     # A run's first occurrence s sits at its start (within equal labels the
     # composite sort orders by s). Propagate it to the run end with a running
     # max over run-start composites: node indices strictly ascend across a
@@ -211,9 +271,9 @@ def match_step(cfg: MatchConfig, n_table: int, n_nodes: int,
 
     # ---- path sums (ref sumCounts): hits whose node is ancestor-or-eq ------
     lab_e = label[:, None, :]
-    tout_lab = tout[jnp.maximum(label, 0)][:, None, :]
+    tout_lab_e = tout_lab[:, None, :]
     c_e = cand[:, :, None]
-    contrib = (lab_e >= 0) & (c_e >= 0) & (lab_e <= c_e) & (c_e < tout_lab)
+    contrib = (lab_e >= 0) & (c_e >= 0) & (lab_e <= c_e) & (c_e < tout_lab_e)
     sums = jnp.sum(contrib.astype(jnp.int32), axis=2)
     sums = jnp.where(cand >= 0, sums, 0)
 
@@ -247,7 +307,6 @@ def match_step(cfg: MatchConfig, n_table: int, n_nodes: int,
 
     if cfg.threshold > 1:
         # threshold promotion (ref :487-492 + lowestNodeWhereSumAboveThreshold)
-        assert depth is not None, "threshold > 1 requires the node depth array"
         D = anc.shape[1]
         w_idx2 = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
         rs_idx = jax.lax.associative_scan(
@@ -255,12 +314,11 @@ def match_step(cfg: MatchConfig, n_table: int, n_nodes: int,
         run_cnt = jnp.where(run_end_m, w_idx2 - rs_idx + 1, 0)
         # hit labels that are ancestor-or-equal of each candidate
         sn_e = s_node[:, None, :]
-        tout_sn = tout[jnp.maximum(s_node, 0)][:, None, :]
+        tout_sn = s_tout[:, None, :]
         c_e2 = cand[:, :, None]
         anc_ok = (sn_e >= 0) & (c_e2 >= 0) & (sn_e <= c_e2) & (c_e2 < tout_sn)
         weighted = jnp.where(anc_ok, run_cnt[:, None, :], 0).astype(jnp.float32)
-        d_lab = jnp.where(run_end_m & (s_node >= 0),
-                          depth[jnp.maximum(s_node, 0)], D)
+        d_lab = jnp.where(run_end_m & (s_node >= 0), s_depth, D)
         onehot = (d_lab[:, :, None] == jax.lax.broadcasted_iota(
             jnp.int32, (B, W, D), 2)).astype(jnp.float32)
         # hist[b,p,d] = hit windows on candidate p's root path at depth d

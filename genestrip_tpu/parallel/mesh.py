@@ -24,7 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from genestrip_tpu.match.pipeline import MatchConfig, match_step
+from genestrip_tpu.match.pipeline import MatchConfig, TableSpec, match_step
 
 # outputs that are per-node vectors and must be summed across shards
 _PSUM_OUTS = ("contigs", "kmers", "contig_sq", "reads1")
@@ -33,21 +33,19 @@ _SHARDED_OUTS = ("found", "n_win", "class_node", "read_kmers", "tax_err",
                  "stats_ok", "label")
 
 
-def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, n_table: int, n_nodes: int,
-                            axis: str = "reads"):
+def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, spec: TableSpec,
+                            n_nodes: int, axis: str = "reads"):
     """A pjit-ed data-parallel match step over the given mesh.
 
-    Returns fn(keys_hi, keys_lo, vidx, node_of_value, tout, anc, codes,
-    lengths, seen, counts) -> outputs dict, where codes/lengths/seen/counts
-    are sharded over `axis` (seen/counts being per-shard partial states with
-    a leading device axis) and the table/tree arrays are replicated.
+    Returns fn(inter, bucket_start, anc, codes, lengths, seen, counts) ->
+    outputs dict, where codes/lengths/seen/counts are sharded over `axis`
+    (seen/counts being per-shard partial states with a leading device axis)
+    and the table/tree arrays are replicated.
     """
 
-    def local_step(keys_hi, keys_lo, vidx, node_of_value, tout, anc,
-                   codes, lengths, seen, counts):
-        out = match_step(cfg, n_table, n_nodes, keys_hi, keys_lo, vidx,
-                         node_of_value, tout, anc, codes, lengths,
-                         seen[0], counts[0])
+    def local_step(inter, bucket_start, anc, codes, lengths, seen, counts):
+        out = match_step(cfg, spec, n_nodes, inter, bucket_start, anc,
+                         codes, lengths, seen[0], counts[0])
         res = {}
         for k_, v in out.items():
             if k_ in _PSUM_OUTS:
@@ -69,7 +67,7 @@ def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, n_table: int, n_nodes:
 
     n_dev = mesh.shape[axis]
     repl = P()
-    in_specs = (repl, repl, repl, repl, repl, repl,   # table + tree arrays
+    in_specs = (repl, repl, repl,                     # table + tree arrays
                 P(axis), P(axis),                     # codes, lengths
                 P(axis), P(axis))                     # seen, counts (stacked)
     out_specs = {}
@@ -92,7 +90,7 @@ def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, n_table: int, n_nodes:
 
     fn = shard_map(local_step, mesh=mesh, in_specs=in_specs,
                    out_specs=out_specs, check_rep=False)
-    return jax.jit(fn, donate_argnums=(8, 9))
+    return jax.jit(fn, donate_argnums=(5, 6))
 
 
 def replicate_unique_state(n_table: int, n_devices: int):

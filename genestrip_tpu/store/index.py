@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from genestrip_tpu.store.database import Database
-from genestrip_tpu.store.table import lookup_positions
+from genestrip_tpu.store.table import KmerTable
 from genestrip_tpu.ops.kmer import split_u64
 
 
@@ -33,12 +33,12 @@ class KmerIndex:
         mask = np.isin(db.table.value_idx.astype(np.int64), req_vi)
         return KmerIndex(db.k, db.table.keys[mask])
 
-    def device_arrays(self):
+    def search_arrays(self):
+        """Radix search arrays (no aux planes) for the containment probe."""
         if self._device is None:
-            import jax.numpy as jnp
-            hi, lo = split_u64(self.keys)
-            self._device = {"hi": jnp.asarray(hi), "lo": jnp.asarray(lo),
-                            "n": len(self.keys)}
+            t = KmerTable(self.k, self.keys,
+                          np.zeros(len(self.keys), np.uint16), ["0"])
+            self._device = t.search_arrays()
         return self._device
 
     def contains_np(self, kmers: np.ndarray) -> np.ndarray:

@@ -142,3 +142,107 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_oct():
+    """Variant E: 2-gather oct lookup — bounds row (start + 2 fences) then
+    one 8-slot oct row; no binary search at all."""
+    import time
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from genestrip_tpu.ops.kmer import split_u64
+
+    rng = np.random.default_rng(1)
+    n, q, k = 16_000_000, 1 << 20, 31
+    k2 = 2 * k
+    keys = np.unique(rng.integers(0, 1 << k2, size=int(n * 1.05) + 64,
+                                  dtype=np.uint64))[:n]
+    n = len(keys)
+    qi = rng.integers(0, n, size=q // 2)
+    queries = np.concatenate([keys[qi], rng.integers(0, 1 << k2, size=q - q // 2,
+                                                     dtype=np.uint64)])
+    rng.shuffle(queries)
+
+    r = int(np.ceil(np.log2(n))) - 1
+    shift = k2 - r
+    radix = (keys >> np.uint64(shift)).astype(np.int64)
+    bstart = np.searchsorted(radix, np.arange((1 << r) + 1)).astype(np.int64)
+    maxb = int(np.max(bstart[1:] - bstart[:-1]))
+    print(f"# oct r={r} max_bucket={maxb}")
+    assert maxb <= 16
+    hi, lo = split_u64(keys)
+    n_oct = (n + 7) // 8
+    pad = n_oct * 8 - n
+    hi8 = np.concatenate([hi, np.full(pad, 0xFFFFFFFF, np.uint32)]).reshape(n_oct, 8)
+    lo8 = np.concatenate([lo, np.full(pad, 0xFFFFFFFF, np.uint32)]).reshape(n_oct, 8)
+    vid8 = np.concatenate([np.arange(n, dtype=np.int32) % 60000,
+                           np.zeros(pad, np.int32)]).reshape(n_oct, 8)
+    octs = np.concatenate([hi8.view(np.int32), lo8.view(np.int32), vid8],
+                          axis=1)  # [n_oct, 24]
+    # bounds rows: start_pos + fences (first keys of oct o0+1, o0+2)
+    s = bstart[:-1]
+    o0 = (s >> 3).astype(np.int64)
+    f1i = np.minimum((o0 + 1) * 8, n - 1)
+    f2i = np.minimum((o0 + 2) * 8, n - 1)
+    inf = np.uint32(0xFFFFFFFF)
+    f1_hi = np.where((o0 + 1) * 8 < n, hi[f1i], inf)
+    f1_lo = np.where((o0 + 1) * 8 < n, lo[f1i], inf)
+    f2_hi = np.where((o0 + 2) * 8 < n, hi[f2i], inf)
+    f2_lo = np.where((o0 + 2) * 8 < n, lo[f2i], inf)
+    bounds = np.stack([s.astype(np.int32),
+                       f1_hi.view(np.int32), f1_lo.view(np.int32),
+                       f2_hi.view(np.int32), f2_lo.view(np.int32),
+                       np.zeros_like(s, np.int32), np.zeros_like(s, np.int32),
+                       np.zeros_like(s, np.int32)], axis=1)  # [2^r, 8]
+
+    q_hi, q_lo = split_u64(queries)
+    d_b = jnp.asarray(bounds)
+    d_o = jnp.asarray(octs)
+    jq_hi, jq_lo = jnp.asarray(q_hi), jnp.asarray(q_lo)
+
+    def u32(x):
+        return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+    def ge(a_hi, a_lo, b_hi, b_lo):
+        return (a_hi > b_hi) | ((a_hi == b_hi) & (a_lo >= b_lo))
+
+    @jax.jit
+    def variant_e(q_hi, q_lo):
+        rx = ((q_hi << (32 - shift)) | (q_lo >> shift)).astype(jnp.int32) \
+            if shift < 32 else (q_hi >> (shift - 32)).astype(jnp.int32)
+        b = d_b[rx]
+        o0 = b[..., 0] >> 3
+        oct_idx = (o0
+                   + ge(q_hi, q_lo, u32(b[..., 1]), u32(b[..., 2])).astype(jnp.int32)
+                   + ge(q_hi, q_lo, u32(b[..., 3]), u32(b[..., 4])).astype(jnp.int32))
+        row = d_o[jnp.minimum(oct_idx, n_oct - 1)]
+        eq = (u32(row[..., 0:8]) == q_hi[..., None]) & \
+             (u32(row[..., 8:16]) == q_lo[..., None])
+        found = jnp.any(eq, axis=-1)
+        slot = jnp.argmax(eq, axis=-1)
+        pos = oct_idx * 8 + slot.astype(jnp.int32)
+        vid = jnp.sum(jnp.where(eq, row[..., 16:24], 0), axis=-1)
+        return pos, found, vid
+
+    pos, found, vid = variant_e(jq_hi, jq_lo)
+    jax.block_until_ready(pos)
+    # golden
+    p_np = np.searchsorted(keys, queries)
+    pc = np.minimum(p_np, n - 1)
+    f_np = keys[pc] == queries
+    np.testing.assert_array_equal(np.asarray(found), f_np)
+    np.testing.assert_array_equal(np.asarray(pos)[f_np], pc[f_np])
+    np.testing.assert_array_equal(np.asarray(vid)[f_np],
+                                  (pc[f_np] % 60000).astype(np.int32))
+    reps = 20
+    t0 = time.time()
+    for _ in range(reps):
+        pos, found, vid = variant_e(jq_hi, jq_lo)
+    jax.block_until_ready(pos)
+    dt = (time.time() - t0) / reps
+    print(f"E oct 2-gather: {dt*1e3:8.3f} ms  {q/dt/1e6:8.1f} Mlookups/s")
+
+
+if __name__ == "__main__" and "--oct" in sys.argv:
+    bench_oct()
