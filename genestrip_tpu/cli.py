@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="Configuration parameter override (repeatable).")
     ap.add_argument("-ll", action="store_true", help="Download URL fastqs to common dir.")
     ap.add_argument("-l", action="store_true", help="Download URL fastqs to project dir.")
+    ap.add_argument("-i", action="store_true",
+                    help="Make goals independently (release memory between them).")
     ap.add_argument("project", nargs="?", help="Project name.")
     ap.add_argument("goals", nargs="*", help="Goals to run (default: show).")
     return ap
@@ -65,10 +67,12 @@ def main(argv=None) -> int:
     project = Project(common, args.project, overrides=overrides,
                       db_path=args.db, csv_dir=args.r)
     fastqs = args.f.split(",") if args.f else []
+    download_fastqs = "common" if args.ll else ("project" if args.l else None)
     maker = GSMaker(project, fastq_args=fastqs, map_file=args.m, key=args.k,
-                    taxids_arg=args.tx)
+                    taxids_arg=args.tx, download_fastqs=download_fastqs)
 
     goals = args.goals or ["show"]
+    make_names = []
     for goal_name in goals:
         if goal_name in ("show", "showall"):
             names = (maker.maker.user_goals() if goal_name == "show"
@@ -77,13 +81,17 @@ def main(argv=None) -> int:
             continue
         g = maker.goal(goal_name)
         if args.t == "make":
-            g.make()
+            make_names.append(goal_name)
         elif args.t == "clean":
             g.clean()
         elif args.t == "cleanall":
             g.clean_all(False)
         elif args.t == "cleantotal":
             g.clean_all(True)
+    if make_names:
+        # default: one aggregate run so shared in-memory values live across
+        # goals; -i makes each goal independently (ref Main.java:214,320)
+        maker.maker.make(*make_names, isolate=args.i)
     return 0
 
 

@@ -11,14 +11,17 @@ FileDownloadGoal.java, Maker.java. Semantics preserved:
     lazily via get() (ref Goal.java:199-201, ObjectGoal.java:65-68).
   * clean() removes this goal's outputs; clean_all() also cleans transitive
     dependencies (ref Goal.java:377-433). ObjectGoals release their value
-    once all dependents are made (memory-release backbone,
-    ref ObjectGoal.java:56-58) — here via explicit Maker.dump_all().
+    automatically once all *potentially required* dependents are made
+    (memory-release backbone, ref ObjectGoal.java:56-58 +
+    Goal.java:123-142,216-243 markPotentiallyRequired/dependentMade), and
+    explicitly via Maker.dump_all().
 """
 
 from __future__ import annotations
 
 import logging
 import os
+import resource
 from pathlib import Path
 
 log = logging.getLogger("genestrip")
@@ -30,8 +33,10 @@ class Goal:
         self.project = project
         self.name = name
         self.deps: list[Goal] = [d for d in (deps or []) if d is not None]
+        self.dependents: list[Goal] = []
         self.user_goal = user_goal
         self._made = False
+        self._potentially_required = False
         # cycle check (ref Goal.java:61-75)
         seen = set()
 
@@ -45,6 +50,7 @@ class Goal:
                 walk(d)
         for d in self.deps:
             walk(d)
+            d.dependents.append(self)
 
     # -- state ---------------------------------------------------------------
 
@@ -56,15 +62,55 @@ class Goal:
         return False
 
     def make(self) -> None:
+        """Make dependencies, then this goal (ref Goal.java:216-243): the
+        transitive dependency closure is marked potentially-required for the
+        duration so ObjectGoals can release their values as soon as every
+        dependent that may still need them is made."""
         if self.is_made():
             return
-        for d in self.deps:
-            if not d.is_weak():
-                d.make()
+        try:
+            self.mark_potentially_required(True)
+            for d in self.deps:
+                if not d.is_weak():
+                    d.make()
+            self.make_this()
+        finally:
+            self.mark_potentially_required(False)
+
+    def make_this(self) -> None:
+        """Make only this goal, then notify dependencies
+        (ref Goal.makeThis:315-331)."""
         if not self.is_made():
             log.info("Making goal %s", self.name)
             self.do_make()
             self._made = True
+            self._log_heap()
+            for d in self.deps:
+                d.dependent_made(self)
+
+    def mark_potentially_required(self, mark: bool) -> None:
+        """(Un)mark this goal + transitive deps (ref Goal.java:250-262)."""
+        if self._potentially_required == mark:
+            return
+        self._potentially_required = mark
+        for d in self.deps:
+            d.mark_potentially_required(mark)
+
+    def dependent_made(self, goal: "Goal") -> None:
+        """Trigger all_dependents_made once no potentially-required dependent
+        remains unmade (ref Goal.dependentMade:123-142)."""
+        for dep in self.dependents:
+            if dep._potentially_required and not dep.is_made():
+                return
+        self.all_dependents_made()
+
+    def all_dependents_made(self) -> None:
+        """Memory-release hook (ref Goal.allDependentsMade); default no-op."""
+
+    def _log_heap(self) -> None:
+        if log.isEnabledFor(logging.DEBUG):
+            rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+            log.debug("Peak RSS after goal %s: %d MB", self.name, rss_mb)
 
     def do_make(self) -> None:
         pass
@@ -125,6 +171,14 @@ class ObjectGoal(Goal):
             self.set(self._func())
         if self._value is None:
             raise RuntimeError(f"ObjectGoal {self.name} did not produce a value")
+
+    def all_dependents_made(self) -> None:
+        """Free the held value once no potentially-required dependent still
+        needs it (ref ObjectGoal.allDependentsMade:56-58). A later get()
+        lazily recomputes."""
+        if self._value is not None:
+            log.debug("Releasing object goal %s", self.name)
+        self.dump()
 
     def dump(self) -> None:
         self._value = None
@@ -203,9 +257,23 @@ class Maker:
             raise KeyError(f"Unknown goal: {name}")
         return g
 
-    def make(self, *names: str) -> None:
-        for n in names:
-            self.goal(n).make()
+    def make(self, *names: str, isolate: bool = False) -> None:
+        """Make the named goals. By default they are wrapped in a transient
+        aggregating goal so shared ObjectGoal values stay alive across all
+        targets; with isolate=True (CLI -i) each goal is made independently
+        and memory is released between them (ref Maker.java:195-243)."""
+        if isolate or len(names) <= 1:
+            for n in names:
+                self.goal(n).make()
+            return
+        internal = Goal(None, "__internal__", [self.goal(n) for n in names])
+        internal.is_made = lambda: False
+        try:
+            internal.make()
+        finally:
+            # detach so registered goals don't accumulate dead dependents
+            for d in internal.deps:
+                d.dependents.remove(internal)
 
     def clean(self, *names: str) -> None:
         for n in names:

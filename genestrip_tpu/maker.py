@@ -20,7 +20,9 @@ from genestrip_tpu.db import build as dbbuild
 from genestrip_tpu.db import genbank as gb
 from genestrip_tpu.db.download import download, file_md5
 from genestrip_tpu.db import refseq as rs
-from genestrip_tpu.io.streams import StreamingResource, open_output
+from genestrip_tpu.io.streams import (
+    StreamingResource, is_gzip_name, open_input, open_output,
+)
 from genestrip_tpu.make.goal import FileGoal, Goal, Maker, MkdirGoal, ObjectGoal
 from genestrip_tpu.match.filter import FastqFilter
 from genestrip_tpu.match.matcher import Matcher
@@ -44,13 +46,21 @@ class GSMaker:
 
     def __init__(self, project: Project, fastq_args: list[str] | None = None,
                  map_file: str | None = None, key: str | None = None,
-                 taxids_arg: str | None = None):
+                 taxids_arg: str | None = None,
+                 download_fastqs: str | None = None):
+        """download_fastqs: None (stream URLs directly), 'project' (-l:
+        download URL fastqs to the project fastq dir first) or 'common'
+        (-ll: to the shared common fastq dir) — ref
+        goals/FastqMapTransformGoal.java:38-90 + FastqDownloadsGoal.java."""
+        if download_fastqs not in (None, "project", "common"):
+            raise ValueError(f"download_fastqs must be None/'project'/'common', got {download_fastqs}")
         self.project = project
         self.maker = Maker()
         self.fastq_args = fastq_args or []
         self.map_file = map_file
         self.key = key
         self.taxids_arg = taxids_arg
+        self.download_fastqs = download_fastqs
         self._create_goals()
 
     # -- convenience API (ref: GSMaker.match/filter :502-663) ---------------
@@ -61,14 +71,19 @@ class GSMaker:
     def match(self, key: str, paths: list[str], lr: bool = False):
         self.fastq_args = list(paths)
         self.key = key
+        self.maker.goals["rawfastqmap"].dump()
         self.maker.goals["fastqmap"].dump()
         self.goal("matchlr" if lr else "match").clean()
+        # capture the result value before make(): the match goal's completion
+        # auto-releases the matchres ObjectGoal (ref ObjectGoal.java:56-58)
+        res = self.goal("matchreslr" if lr else "matchres").get().get(key)
         self.goal("matchlr" if lr else "match").make()
-        return self.goal("matchreslr" if lr else "matchres").get().get(key)
+        return res
 
     def filter(self, key: str, paths: list[str]):
         self.fastq_args = list(paths)
         self.key = key
+        self.maker.goals["rawfastqmap"].dump()
         self.maker.goals["fastqmap"].dump()
         self.goal("filter").clean()
         self.goal("filter").make()
@@ -174,7 +189,11 @@ class GSMaker:
                                    func=lambda: KmerIndex.load_npz(p.index_file)))
 
         # ---- analysis ----
-        fastqmap = reg(ObjectGoal(p, "fastqmap", deps=[setup], func=self._fastq_map))
+        rawfastqmap = reg(ObjectGoal(p, "rawfastqmap", deps=[setup], func=self._fastq_map))
+        fastqdownloads = reg(_FastqDownloadsGoal(p, rawfastqmap, self.download_fastqs))
+        fastqmap = reg(ObjectGoal(
+            p, "fastqmap", deps=[rawfastqmap, fastqdownloads],
+            func=lambda: self._transform_fastq_map(rawfastqmap.get(), fastqdownloads)))
         matchres = reg(_MatchResGoal(p, "matchres", loaddb, fastqmap, classify=True))
         matchreslr = reg(_MatchResGoal(p, "matchreslr", loaddb, fastqmap, classify=False))
         reg(_MatchGoal(p, "match", matchres, fastqmap))
@@ -336,12 +355,10 @@ class GSMaker:
             if node is None:
                 log.warning("Unknown taxid in additional file (omitting fasta files for it): %s", taxid)
                 continue
+            # URL entries / downloads.txt entries were fetched by the
+            # adddownloads dependency (ref AdditionalDownloadsGoal); resolve
+            # project fasta dir first, then the shared common fasta dir.
             path = p.fasta_file_from_path(fname)
-            if path is None and len(parts) >= 3:
-                target = p.common.fasta_dir / fname
-                download(parts[2], target, md5=parts[3] if len(parts) > 3 else None,
-                         tries=p["maxDownloadTries"])
-                path = target
             if path is None:
                 log.warning("Ignoring missing file %s.", fname)
                 continue
@@ -405,7 +422,10 @@ class GSMaker:
 
         def resolve(spec: str) -> list:
             if "://" in spec:
-                return [StreamingResource(spec, assume_gzip=p["alwaysAssumeGzip"])]
+                # alwaysAssumeGzip=false falls back to name-based detection
+                # (ref GSConfigKey.java:122-125), it does not force plain.
+                gz = True if p["alwaysAssumeGzip"] else None
+                return [StreamingResource(spec, assume_gzip=gz)]
             for base in (Path("."), p.fastq_dir, p.common.fastq_dir,
                          p.common.base_dir / "fastq"):
                 matches = sorted(globmod.glob(str(base / spec))) if any(
@@ -431,6 +451,23 @@ class GSMaker:
                 name = os.path.basename(spec.split("?")[0])
                 key = self.project.file_base_name(name)
             out.setdefault(key, []).extend(resolve(spec))
+        return out
+
+    def _transform_fastq_map(self, raw: dict[str, list], downloads) -> dict[str, list]:
+        """Replace URL resources with their local download targets when -l/-ll
+        is active (ref: goals/FastqMapTransformGoal.java:70-111); otherwise
+        pass the map through unchanged."""
+        if not self.download_fastqs:
+            return raw
+        downloads.make()
+        out: dict[str, list] = {}
+        for key, resources in raw.items():
+            lst = []
+            for res in resources:
+                target = downloads.target_for(res, key)
+                lst.append(StreamingResource(str(target)) if target is not None
+                           else res)
+            out[key] = lst
         return out
 
     def _db2fastq_taxids(self, db: Database) -> list[str]:
@@ -705,8 +742,121 @@ class _ExtractRefSeqCSVGoal(FileGoal):
 
 
 class _AdditionalDownloadsGoal(Goal):
+    """Downloads for additional fastas (ref: goals/AdditionalDownloadsGoal.java
+    :60-140): entries of the project's additional.txt with a URL are fetched
+    to the *project* fasta dir; URL-less entries missing locally are looked up
+    in the shared <common>/fasta/downloads.txt ('<file> <URL> [<md5>]') and
+    fetched to the *common* fasta dir."""
+
+    DOWNLOADS_NAME = "downloads.txt"
+
     def __init__(self, project, deps):
         super().__init__(project, "adddownloads", deps)
+
+    def _plan(self) -> list[tuple]:
+        """[(target path, url, md5 | None)] for entries still missing."""
+        p = self.project
+        plan = []
+        f = p.additional_file
+        if not f.exists():
+            return plan
+        unresolved = []
+        for line in f.read_text().splitlines():
+            parts = line.strip().split()
+            if not parts or parts[0].startswith("#") or len(parts) < 2:
+                continue
+            fname = parts[1]
+            if len(parts) >= 3:
+                plan.append((p.fasta_dir / fname, parts[2],
+                             parts[3] if len(parts) > 3 else None))
+            elif p.fasta_file_from_path(fname) is None:
+                unresolved.append(fname)
+        dl = p.common.fasta_dir / self.DOWNLOADS_NAME
+        if unresolved and dl.exists():
+            wanted = set(unresolved)
+            for line in dl.read_text().splitlines():
+                parts = line.strip().split()
+                if len(parts) >= 2 and parts[0] in wanted:
+                    plan.append((p.common.fasta_dir / parts[0], parts[1],
+                                 parts[2] if len(parts) > 2 else None))
+        return plan
+
+    def is_made(self) -> bool:
+        return all(t.exists() for t, _, _ in self._plan())
+
+    def do_make(self) -> None:
+        for target, url, md5 in self._plan():
+            if not target.exists():
+                target.parent.mkdir(parents=True, exist_ok=True)
+                download(url, target, md5=md5,
+                         tries=self.project["maxDownloadTries"])
+
+    def clean_this(self) -> None:
+        pass  # downloads are kept on clean (ref: cleanable=false goal flag)
+
+
+class _FastqDownloadsGoal(Goal):
+    """Downloads URL fastq resources to local files when -l/-ll is active
+    (ref: goals/FastqDownloadsGoal.java). Target naming follows the
+    reference's getOutputFile: <project>_<key>[_<n>].fastq[.gz] under the
+    project (-l) or common (-ll) fastq dir."""
+
+    def __init__(self, project, rawmap_goal, mode: str | None):
+        super().__init__(project, "fastqdownloads", [rawmap_goal])
+        self.rawmap_goal = rawmap_goal
+        self.mode = mode
+
+    def _dir(self):
+        return (self.project.common.fastq_dir if self.mode == "common"
+                else self.project.fastq_dir)
+
+    def target_for(self, res: StreamingResource, key: str, n: int = None) -> Path | None:
+        """Local target path for a URL resource, None for local resources."""
+        if "://" not in res.source:
+            return None
+        if n is None:
+            n = self._index_of(res, key)
+        gz = is_gzip_name(res.name) or res.assume_gzip
+        suffix = ".fastq.gz" if gz else ".fastq"
+        infix = key if n == 0 else f"{key}_{n}"
+        import urllib.parse
+        infix = urllib.parse.quote_plus(infix)[:256]
+        return self._dir() / f"{self.project.name}_{infix}{suffix}"
+
+    def _index_of(self, res, key) -> int:
+        urls = [r for r in self.rawmap_goal.get().get(key, [])
+                if "://" in r.source]
+        for i, r in enumerate(urls):
+            if r is res:
+                return i
+        return 0
+
+    def _plan(self):
+        if not self.mode:
+            return []
+        out = []
+        for key, resources in self.rawmap_goal.get().items():
+            n = 0
+            for res in resources:
+                if "://" in res.source:
+                    out.append((res, self.target_for(res, key, n)))
+                    n += 1
+        return out
+
+    def is_made(self) -> bool:
+        if not self.mode:
+            return True
+        return all(t.exists() and t.stat().st_size > 0 for _, t in self._plan())
+
+    def do_make(self) -> None:
+        for res, target in self._plan():
+            if not (target.exists() and target.stat().st_size > 0):
+                target.parent.mkdir(parents=True, exist_ok=True)
+                download(res.source, target,
+                         tries=self.project["maxDownloadTries"])
+
+    def clean_this(self) -> None:
+        pass  # downloaded inputs are kept on clean
 
 
 class _SaveDBGoal(FileGoal):
