@@ -76,7 +76,14 @@ class Matcher:
         """Match all resources; returns a MatchingResult.
 
         filtered_out/kraken_out are writable binary streams or None.
+
+        Host and device overlap by one batch (double buffering): batch N+1 is
+        parsed, packed and dispatched before batch N's outputs are pulled back
+        and accumulated — JAX dispatch is async, so the device runs batch N
+        while the host packs N+1 (ref equivalent: the producer/consumer
+        overlap of fastq/AbstractFastqReader.java:88-185).
         """
+        pending = None
         for res in resources:
             if not isinstance(res, StreamingResource):
                 res = StreamingResource(res)
@@ -84,12 +91,18 @@ class Matcher:
             packer = BatchPacker(self.batch_size)
             with res.open() as stream:
                 for batch in parse_reads(stream, packer, fasta):
-                    self._process_batch(batch, filtered_out, kraken_out)
+                    out = self._dispatch_batch(batch, kraken_out is not None)
+                    if pending is not None:
+                        self._finalize_batch(*pending, filtered_out, kraken_out)
+                    pending = (batch, out)
+        if pending is not None:
+            self._finalize_batch(*pending, filtered_out, kraken_out)
         return self._build_result()
 
-    def _process_batch(self, batch: ReadBatch, filtered_out, kraken_out):
+    def _dispatch_batch(self, batch: ReadBatch, need_labels: bool):
+        """Pack + enqueue the device step; returns the (async) output dict."""
         cfg = self.cfg
-        need_labels = (kraken_out is not None) or cfg.return_labels
+        need_labels = need_labels or cfg.return_labels
         if need_labels != cfg.return_labels:
             cfg = MatchConfig(**{**cfg.__dict__, "return_labels": need_labels})
         # Pad partial batches to the fixed batch size (zero-length rows are
@@ -107,8 +120,12 @@ class Matcher:
                          self._seen, self._counts)
         self._seen = out["seen"]
         self._counts = out["counts"]
+        return out
 
-        W = codes.shape[1] - cfg.k + 1
+    def _finalize_batch(self, batch: ReadBatch, out, filtered_out, kraken_out):
+        cfg = self.cfg
+        n_real = batch.n
+        W = batch.codes.shape[1] - cfg.k + 1
         n_win = np.asarray(out["n_win"])
         found = np.asarray(out["found"])
 

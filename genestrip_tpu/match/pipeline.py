@@ -76,7 +76,9 @@ class MatchConfig:
     max_read_tax_error: float = -1.0     # ref GSConfigKey maxReadTaxErrorCount
     max_read_class_error: float = -1.0   # ref maxReadClassErrorCount
     threshold: int = 1                   # ref minKMersForClass
-    return_labels: bool = True
+    # label matrix is only needed for kraken-style output; it is a [B, W]
+    # transfer per batch, so default off (Matcher enables it on demand)
+    return_labels: bool = False
 
 
 @dataclass(frozen=True)
@@ -132,7 +134,6 @@ def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
     k = cfg.k
     hi, lo, clean, exists = window_kmers(codes, lengths, k)
     W = L - k + 1
-    assert W < (1 << 21), "padded window count exceeds composite-sort range; chunk long reads"
 
     pos, found_win, aux = lookup_radix(inter, bucket_start, hi, lo,
                                        n=n_table, iters=spec.iters,
@@ -207,17 +208,16 @@ def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
         argmax_enc = jnp.full(T + 1, jnp.iinfo(jnp.int32).max, jnp.int32).at[
             jnp.where(is_max, label, T).reshape(-1)].min(enc.reshape(-1))[:T]
 
-    # ---- per-read distinct nodes: sort (label, s) composites ---------------
-    SHIFT = 1 << 21  # > max W we ever pad to; label fits in the high bits
-    comp = label.astype(jnp.int64) * SHIFT + s_idx.astype(jnp.int64)
-    comp = jnp.where(hit, comp, jnp.int64(jnp.iinfo(jnp.int64).max))
-    # carry the nodes' tout/depth through the sort instead of re-gathering
-    # them from node-indexed arrays afterwards (HBM gathers dominate)
-    sorted_comp, s_tout, s_depth = jax.lax.sort(
-        (comp, tout_lab, depth_lab), dimension=1, num_keys=1)
-    s_node = jnp.where(sorted_comp < jnp.iinfo(jnp.int64).max,
-                       (sorted_comp // SHIFT).astype(jnp.int32), -1)
-    s_first = jnp.where(s_node >= 0, (sorted_comp % SHIFT).astype(jnp.int32), 0)
+    # ---- per-read distinct nodes: 2-key int32 sort of (label, s) -----------
+    # Non-hit windows are pushed to the row end via INT32_MAX keys; tout and
+    # depth of each window's node ride along as payload so no node-indexed
+    # gathers are needed afterwards. All 32-bit (no 64-bit emulation).
+    BIG = jnp.iinfo(jnp.int32).max
+    node_key = jnp.where(hit, node, BIG)
+    s_key, s_first, s_tout, s_depth = jax.lax.sort(
+        (node_key, s_idx, jnp.where(hit, tout_lab, BIG), depth_lab),
+        dimension=1, num_keys=2)
+    s_node = jnp.where(s_key != BIG, s_key, -1)
     sp = jnp.concatenate([jnp.full((B, 1), -9, jnp.int32), s_node[:, :-1]], axis=1)
     sn = jnp.concatenate([s_node[:, 1:], jnp.full((B, 1), -9, jnp.int32)], axis=1)
     run_start_m = (s_node >= 0) & (s_node != sp)      # first window of each distinct node
@@ -253,29 +253,61 @@ def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
     # Node indices are pre-order positions, so a node's descendants directly
     # follow it: the run's successor in sorted order is its smallest-tin
     # descendant candidate. Non-maximal iff that successor is inside tout.
-    succ = jnp.where(sn >= 0, sn, jnp.iinfo(jnp.int32).max)
+    succ = jnp.where(sn >= 0, sn, BIG)
     non_max = run_end_m & (succ < s_tout)
     # A run's first occurrence s sits at its start (within equal labels the
-    # composite sort orders by s). Propagate it to the run end with a running
-    # max over run-start composites: node indices strictly ascend across a
-    # row's runs, so the latest run start always holds the row maximum.
-    start_comp = jnp.where(run_start_m, sorted_comp, jnp.int64(-1))
-    run_first = (jax.lax.associative_scan(jnp.maximum, start_comp, axis=1) % SHIFT).astype(jnp.int32)
+    # 2-key sort orders by s). Propagate it to the run end with a running
+    # max over run-start (node, s) composites: node indices strictly ascend
+    # across a row's runs, so the latest run start always holds the row max.
+    Wp = 1 << max(int(np.ceil(np.log2(W + 1))), 1)
+    if T * Wp < 2**31:
+        start_comp = jnp.where(run_start_m, s_node * Wp + s_first, -1)
+        run_first = jax.lax.associative_scan(
+            jnp.maximum, start_comp, axis=1) & (Wp - 1)
+    else:
+        rs_idx = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(run_start_m, s_idx, 0), axis=1)
+        run_first = jnp.take_along_axis(s_first, rs_idx, axis=1)
     cand_mask = run_end_m & ~non_max
-    comp2 = jnp.where(cand_mask,
-                      run_first.astype(jnp.int64) * SHIFT + s_node.astype(jnp.int64),
-                      jnp.int64(jnp.iinfo(jnp.int64).max))
-    cand_sorted = jnp.sort(comp2, axis=1)[:, : cfg.max_paths]
-    cand = jnp.where(cand_sorted < jnp.iinfo(jnp.int64).max,
-                     (cand_sorted % SHIFT).astype(jnp.int32), -1)
+    # first-occurrence-order cap to max_paths (ref mergeReadTaxidPath): sort
+    # candidates by (first window, node)
+    Tp = 1 << max(int(np.ceil(np.log2(T + 1))), 1)
+    if W * Tp < 2**31:
+        comp2 = jnp.where(cand_mask, run_first * Tp + s_node, BIG)
+        cand_sorted = jnp.sort(comp2, axis=1)[:, : cfg.max_paths]
+        cand = jnp.where(cand_sorted != BIG, cand_sorted & (Tp - 1), -1)
+    else:
+        c1, c2 = jax.lax.sort(
+            (jnp.where(cand_mask, run_first, BIG),
+             jnp.where(cand_mask, s_node, BIG)), dimension=1, num_keys=2)
+        cand = jnp.where(c1[:, : cfg.max_paths] != BIG,
+                         c2[:, : cfg.max_paths], -1)
 
     # ---- path sums (ref sumCounts): hits whose node is ancestor-or-eq ------
-    lab_e = label[:, None, :]
-    tout_lab_e = tout_lab[:, None, :]
-    c_e = cand[:, :, None]
-    contrib = (lab_e >= 0) & (c_e >= 0) & (lab_e <= c_e) & (c_e < tout_lab_e)
-    sums = jnp.sum(contrib.astype(jnp.int32), axis=2)
-    sums = jnp.where(cand >= 0, sums, 0)
+    # A hit window with node a contributes to candidate c iff a <= c < tout(a)
+    # (pre-order/Euler containment). Counting over the row-sorted arrays:
+    #   sum(c) = #(label <= c) - #(tout <= c)
+    # because tout(a) <= c implies a < tout(a) <= c. Two rank queries per
+    # candidate (binary search, log2(W) take_along_axis steps on [B, P])
+    # replace the former [B, P, W] broadcast.
+    sorted_tout = jax.lax.sort(jnp.where(hit, tout_lab, BIG), dimension=1)
+    cand_safe = jnp.where(cand >= 0, cand, -1)
+
+    def upper_bound(sorted_row, vals):
+        lo_b = jnp.zeros_like(vals)
+        hi_b = jnp.full_like(vals, W)
+        for _ in range(max(int(np.ceil(np.log2(W + 1))), 1)):
+            mid = (lo_b + hi_b) >> 1
+            v = jnp.take_along_axis(sorted_row, jnp.minimum(mid, W - 1), axis=1)
+            upd = lo_b < hi_b
+            go = v <= vals
+            lo_b = jnp.where(upd & go, mid + 1, lo_b)
+            hi_b = jnp.where(upd & ~go, mid, hi_b)
+        return lo_b
+
+    cnt_label = upper_bound(s_key, cand_safe)
+    cnt_tout = upper_bound(sorted_tout, cand_safe)
+    sums = jnp.where(cand >= 0, cnt_label - cnt_tout, 0)
 
     best = jnp.max(sums, axis=1)
     has_cand = jnp.any(cand >= 0, axis=1)
