@@ -20,8 +20,11 @@ from genestrip_tpu.match.pipeline import (
 from genestrip_tpu.match.results import CountsPerTaxid, MatchingResult
 from genestrip_tpu.store.table import KmerTable
 from genestrip_tpu.tax.small import SmallTaxTree
+from genestrip_tpu.parallel import mesh as mesh_mod
 
+import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 class Matcher:
@@ -29,22 +32,38 @@ class Matcher:
 
     def __init__(self, table: KmerTable, tree: SmallTaxTree, cfg: MatchConfig,
                  db_md5: str = "", batch_size: int = 4096, max_kmer_res_counts: int = 0,
-                 write_all: bool = True):
+                 write_all: bool = True, devices=None):
+        """devices: device list for data-parallel matching (default: all
+        visible devices; with more than one, batches are sharded over a
+        jax.sharding.Mesh and per-node stats psum-merged — the TPU
+        replacement for the reference's consumer-thread fan-out,
+        ref fastq/AbstractFastqReader.java:88-185)."""
         self.table = table
         self.tree = tree
         self.db_md5 = db_md5
-        self.batch_size = batch_size
         self.max_kmer_res_counts = max_kmer_res_counts
         self.write_all = write_all
         self.cfg = cfg
         T = len(tree)
         self.n_nodes = T
+        devices = devices if devices is not None else jax.devices()
+        self._mesh = mesh_mod.make_mesh(devices) if len(devices) > 1 else None
+        self._n_dev = len(devices) if self._mesh is not None else 1
+        # batch size must split evenly over the device mesh
+        self.batch_size = -(-batch_size // self._n_dev) * self._n_dev
+        self._sharded_steps: dict = {}
         # device-side constants (radix search arrays with fused aux planes)
         from genestrip_tpu.match.pipeline import build_match_arrays
         sa, self._spec = build_match_arrays(table, tree)
         self._inter, self._bucket_start = sa["inter"], sa["bucket_start"]
         self._n_table = sa["n"]
         self._anc = jnp.asarray(tree.ancestor_at_depth)
+        if self._mesh is not None:
+            repl = NamedSharding(self._mesh, P())
+            self._inter = jax.device_put(self._inter, repl)
+            self._bucket_start = jax.device_put(self._bucket_start, repl)
+            self._anc = jax.device_put(self._anc, repl)
+            self._batch_sharding = NamedSharding(self._mesh, P("reads"))
         self.reset()
 
     def reset(self):
@@ -66,9 +85,8 @@ class Matcher:
         self.total_reads = 0
         self.total_kmers = 0
         self.total_bps = 0
-        self._seen = jnp.zeros(N + 1, jnp.uint8)
-        self._counts = (jnp.zeros(N + 1, jnp.int32)
-                        if self.cfg.with_counts else jnp.zeros(1, jnp.int32))
+        self._seen, self._counts = mesh_mod.unique_state(
+            N, self._mesh, self.cfg.with_counts)
 
     # ------------------------------------------------------------------
 
@@ -114,10 +132,21 @@ class Matcher:
             codes = np.concatenate(
                 [codes, np.full((pad, codes.shape[1]), 255, np.uint8)])
             lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
-        out = match_step(cfg, self._spec, self.n_nodes,
-                         self._inter, self._bucket_start, self._anc,
-                         jnp.asarray(codes), jnp.asarray(lengths),
-                         self._seen, self._counts)
+        if self._mesh is not None:
+            step = self._sharded_steps.get(cfg)
+            if step is None:
+                step = mesh_mod.make_sharded_match_step(
+                    self._mesh, cfg, self._spec, self.n_nodes)
+                self._sharded_steps[cfg] = step
+            codes_d = jax.device_put(codes, self._batch_sharding)
+            lengths_d = jax.device_put(lengths, self._batch_sharding)
+            out = step(self._inter, self._bucket_start, self._anc,
+                       codes_d, lengths_d, self._seen, self._counts)
+        else:
+            out = match_step(cfg, self._spec, self.n_nodes,
+                             self._inter, self._bucket_start, self._anc,
+                             jnp.asarray(codes), jnp.asarray(lengths),
+                             self._seen, self._counts)
         self._seen = out["seen"]
         self._counts = out["counts"]
         return out
@@ -263,8 +292,8 @@ class Matcher:
         KMerUniqueCounterBits.getMaxCountsCounts:172-199). The reference's
         count vector is a short; counts saturate at 32767."""
         N = self.max_kmer_res_counts
-        seen = np.asarray(self._seen)[:-1] > 0
-        counts = np.minimum(np.asarray(self._counts)[:-1], 32767)
+        seen = mesh_mod.merge_seen(self._seen)[:-1] > 0
+        counts = np.minimum(mesh_mod.merge_counts(self._counts)[:-1], 32767)
         sel = np.nonzero(seen)[0]
         out: dict = {None: [0] * N}
         if len(sel) == 0:
@@ -287,7 +316,7 @@ class Matcher:
     def _unique_per_node(self) -> np.ndarray:
         """Unique k-mers per node: segment-sum of the seen bits over the
         table's value indexes (ref: KMerUniqueCounterBits.getUniqueKmerCounts)."""
-        seen = np.asarray(self._seen)[:-1].astype(np.int64)
+        seen = mesh_mod.merge_seen(self._seen)[:-1].astype(np.int64)
         per_value = np.bincount(self.table.value_idx, weights=seen,
                                 minlength=self.table.n_values).astype(np.int64)
         out = np.zeros(self.n_nodes, np.int64)

@@ -6,46 +6,62 @@ over a jax.sharding.Mesh: read batches are sharded over the batch dimension
 ("reads" axis), the k-mer table and taxonomy arrays are replicated in every
 chip's HBM (Genestrip databases are small by design, ref README.md:39), and
 per-tax-id statistic vectors are merged with psum over ICI. The unique-k-mer
-seen/count vectors are per-shard and OR/sum-merged on aggregation
-(SURVEY.md §5.8).
+seen/count vectors are per-shard partial states (position-space partition)
+that are OR/sum-merged host-side at aggregation time (SURVEY.md §5.8).
 
-For databases exceeding HBM, the planned alternative is range-sharding the
-sorted table over devices with lookups routed by k-mer prefix (the radix
-bits as shard key) — not yet implemented.
+The Matcher picks this path automatically whenever more than one device is
+visible (genestrip_tpu/match/matcher.py); tests exercise it on a virtual
+8-device CPU mesh and assert shard-merged == single-device for every output.
+
+For databases exceeding HBM, the alternative is range-sharding the sorted
+table over devices with lookups routed by k-mer prefix (the radix bits as
+shard key) — see store/table.py radix layout.
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
 from genestrip_tpu.match.pipeline import MatchConfig, TableSpec, match_step
 
 # outputs that are per-node vectors and must be summed across shards
 _PSUM_OUTS = ("contigs", "kmers", "contig_sq", "reads1")
-# outputs that stay sharded along the read axis
+# outputs that stay sharded along the read axis (read order is preserved:
+# shard s holds the contiguous block s of the batch)
 _SHARDED_OUTS = ("found", "n_win", "class_node", "read_kmers", "tax_err",
                  "stats_ok", "label")
 
 
+def make_mesh(devices=None, axis: str = "reads") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
 def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, spec: TableSpec,
                             n_nodes: int, axis: str = "reads"):
-    """A pjit-ed data-parallel match step over the given mesh.
+    """A jitted shard_map data-parallel match step over the given mesh.
 
-    Returns fn(inter, bucket_start, anc, codes, lengths, seen, counts) ->
-    outputs dict, where codes/lengths/seen/counts are sharded over `axis`
-    (seen/counts being per-shard partial states with a leading device axis)
-    and the table/tree arrays are replicated.
+    Signature matches match_step minus the static args:
+      fn(inter, bucket_start, anc, codes, lengths, seen, counts) -> outputs
+    codes/lengths are sharded over `axis`; seen/counts carry a leading device
+    axis (per-shard partial unique-counter state); table/tree arrays are
+    replicated. Per-node outputs come back shard-merged (psum/pmax); per-read
+    outputs come back sharded in read order. max-contig tie-breaking uses
+    globally offset (read, window) encodings so the first achiever in global
+    read order wins, exactly as single-device (ref FastqKMerMatcher.java:404).
     """
+    n_dev = mesh.shape[axis]
 
     def local_step(inter, bucket_start, anc, codes, lengths, seen, counts):
+        B_local, L = codes.shape
+        W = L - cfg.k + 1
         out = match_step(cfg, spec, n_nodes, inter, bucket_start, anc,
                          codes, lengths, seen[0], counts[0])
+        idx = jax.lax.axis_index(axis)
         res = {}
         for k_, v in out.items():
             if k_ in _PSUM_OUTS:
@@ -53,11 +69,12 @@ def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, spec: TableSpec,
             elif k_ == "max_contig":
                 res[k_] = jax.lax.pmax(v, axis)
             elif k_ == "argmax_enc":
-                # min encoded (read, window) among shards that achieve the
-                # global max; shards below the global max are masked out
+                # min globally-offset encoded (read, window) among shards
+                # achieving the global max contig length
                 gmax = jax.lax.pmax(out["max_contig"], axis)
-                enc = jnp.where(out["max_contig"] == gmax, v,
-                                jnp.iinfo(jnp.int32).max)
+                big = jnp.iinfo(jnp.int32).max
+                enc = jnp.where((out["max_contig"] == gmax) & (v != big),
+                                v + idx * (B_local * W), big)
                 res[k_] = jax.lax.pmin(enc, axis)
             elif k_ in ("seen", "counts"):
                 res[k_] = v[None]       # keep per-shard (position-space state)
@@ -65,22 +82,16 @@ def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, spec: TableSpec,
                 res[k_] = v
         return res
 
-    n_dev = mesh.shape[axis]
     repl = P()
     in_specs = (repl, repl, repl,                     # table + tree arrays
                 P(axis), P(axis),                     # codes, lengths
                 P(axis), P(axis))                     # seen, counts (stacked)
-    out_specs = {}
-    # build out_specs lazily by running shapes through: simpler to declare
-    # every per-node/psum output replicated and read-axis outputs sharded.
+
     def spec_for(name):
-        if name in _SHARDED_OUTS:
-            return P(axis)
-        if name in ("seen", "counts"):
+        if name in _SHARDED_OUTS or name in ("seen", "counts"):
             return P(axis)
         return repl
 
-    # determine output keys from cfg
     keys = ["found", "n_win", "contigs", "kmers", "contig_sq", "max_contig",
             "argmax_enc", "reads1", "seen", "counts",
             "class_node", "read_kmers", "tax_err", "stats_ok"]
@@ -93,13 +104,28 @@ def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, spec: TableSpec,
     return jax.jit(fn, donate_argnums=(5, 6))
 
 
-def replicate_unique_state(n_table: int, n_devices: int):
-    """Per-shard unique-counter state with a leading device axis."""
-    seen = jnp.zeros((n_devices, n_table + 1), jnp.uint8)
-    counts = jnp.zeros((n_devices, 1), jnp.int32)
+def unique_state(n_table: int, mesh: Mesh | None, with_counts: bool,
+                 axis: str = "reads"):
+    """Unique-counter state: per-shard stacked when a mesh is given."""
+    if mesh is None:
+        seen = jnp.zeros(n_table + 1, jnp.uint8)
+        counts = jnp.zeros(n_table + 1 if with_counts else 1, jnp.int32)
+        return seen, counts
+    n_dev = mesh.shape[axis]
+    sh = NamedSharding(mesh, P(axis))
+    seen = jax.device_put(np.zeros((n_dev, n_table + 1), np.uint8), sh)
+    counts = jax.device_put(
+        np.zeros((n_dev, n_table + 1 if with_counts else 1), np.int32), sh)
     return seen, counts
 
 
-def merge_unique(seen_stacked: np.ndarray) -> np.ndarray:
+def merge_seen(seen) -> np.ndarray:
     """OR-merge the per-shard seen vectors (host side)."""
-    return np.asarray(seen_stacked).max(axis=0)
+    a = np.asarray(seen)
+    return a.max(axis=0) if a.ndim == 2 else a
+
+
+def merge_counts(counts) -> np.ndarray:
+    """Sum-merge the per-shard count vectors (host side)."""
+    a = np.asarray(counts)
+    return a.sum(axis=0, dtype=np.int64) if a.ndim == 2 else a
