@@ -21,17 +21,16 @@ from genestrip_tpu.io.reads import BatchPacker, parse_reads
 from genestrip_tpu.io.streams import StreamingResource
 from genestrip_tpu.ops.kmer import window_kmers
 from genestrip_tpu.store.index import KmerIndex
-from genestrip_tpu.store.table import lookup_radix
+from genestrip_tpu.store.hash import lookup_hash
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "k", "n_index", "iters", "shift", "min_pos_count", "pos_ratio"))
-def filter_step(k: int, n_index: int, iters: int, shift: int,
+    "k", "nb_bits", "min_pos_count", "pos_ratio"))
+def filter_step(k: int, nb_bits: int,
                 min_pos_count: int, pos_ratio: float,
-                inter, bucket_start, codes, lengths):
+                rows, codes, lengths):
     hi, lo, clean, exists = window_kmers(codes, lengths, k)
-    _, found, _ = lookup_radix(inter, bucket_start, hi, lo, n=n_index,
-                               iters=iters, shift=shift)
+    _, found, _ = lookup_hash(rows, hi, lo, nb_bits=nb_bits)
     contained = jnp.sum((found & clean & exists).astype(jnp.int32), axis=1)
     n_win = jnp.maximum(lengths - (k - 1), 0)
     if min_pos_count > 0:
@@ -67,10 +66,9 @@ class FastqFilter:
                             [codes, np.full((pad, codes.shape[1]), 255, np.uint8)])
                         lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
                     acc = np.asarray(filter_step(
-                        self.index.k, d["n"], d["iters"], d["shift"],
+                        self.index.k, d["nb_bits"],
                         self.min_pos_count, self.pos_ratio,
-                        d["inter"], d["bucket_start"],
-                        jnp.asarray(codes), jnp.asarray(lengths)))
+                        d["rows"], jnp.asarray(codes), jnp.asarray(lengths)))
                     self.total += batch.n
                     for b in range(batch.n):
                         out = filtered_out if acc[b] else dumped_out

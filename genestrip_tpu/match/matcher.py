@@ -52,16 +52,17 @@ class Matcher:
         # batch size must split evenly over the device mesh
         self.batch_size = -(-batch_size // self._n_dev) * self._n_dev
         self._sharded_steps: dict = {}
-        # device-side constants (radix search arrays with fused aux planes)
+        # device-side constants (quotient-hash rows + small value-aux table)
         from genestrip_tpu.match.pipeline import build_match_arrays
         sa, self._spec = build_match_arrays(table, tree)
-        self._inter, self._bucket_start = sa["inter"], sa["bucket_start"]
+        self._rows, self._vaux = sa["rows"], sa["vaux"]
+        self._vidx_of_slot = sa["vidx_of_slot"]
         self._n_table = sa["n"]
         self._anc = jnp.asarray(tree.ancestor_at_depth)
         if self._mesh is not None:
             repl = NamedSharding(self._mesh, P())
-            self._inter = jax.device_put(self._inter, repl)
-            self._bucket_start = jax.device_put(self._bucket_start, repl)
+            self._rows = jax.device_put(self._rows, repl)
+            self._vaux = jax.device_put(self._vaux, repl)
             self._anc = jax.device_put(self._anc, repl)
             self._batch_sharding = NamedSharding(self._mesh, P("reads"))
         self.reset()
@@ -140,11 +141,11 @@ class Matcher:
                 self._sharded_steps[cfg] = step
             codes_d = jax.device_put(codes, self._batch_sharding)
             lengths_d = jax.device_put(lengths, self._batch_sharding)
-            out = step(self._inter, self._bucket_start, self._anc,
+            out = step(self._rows, self._vaux, self._anc,
                        codes_d, lengths_d, self._seen, self._counts)
         else:
             out = match_step(cfg, self._spec, self.n_nodes,
-                             self._inter, self._bucket_start, self._anc,
+                             self._rows, self._vaux, self._anc,
                              jnp.asarray(codes), jnp.asarray(lengths),
                              self._seen, self._counts)
         self._seen = out["seen"]
@@ -299,7 +300,9 @@ class Matcher:
         if len(sel) == 0:
             return out
         c = counts[sel].astype(np.int64)
-        vi = self.table.value_idx[sel].astype(np.int64)
+        vi = self._vidx_of_slot[sel]
+        keep = vi >= 0
+        sel, c, vi = sel[keep], c[keep], vi[keep]
         # per value: top-N counts descending (zero-padded)
         order = np.lexsort((-c, vi))
         vi_s, c_s = vi[order], c[order]
@@ -317,7 +320,9 @@ class Matcher:
         """Unique k-mers per node: segment-sum of the seen bits over the
         table's value indexes (ref: KMerUniqueCounterBits.getUniqueKmerCounts)."""
         seen = mesh_mod.merge_seen(self._seen)[:-1].astype(np.int64)
-        per_value = np.bincount(self.table.value_idx, weights=seen,
+        vos = self._vidx_of_slot
+        m_ = vos >= 0
+        per_value = np.bincount(vos[m_], weights=seen[m_],
                                 minlength=self.table.n_values).astype(np.int64)
         out = np.zeros(self.n_nodes, np.int64)
         nov = self.tree.node_of_value(self.table)

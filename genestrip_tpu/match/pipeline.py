@@ -59,7 +59,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from genestrip_tpu.ops.kmer import window_kmers
-from genestrip_tpu.store.table import lookup_radix
+from genestrip_tpu.store.hash import BUCKET, build_hash, lookup_hash
 
 LABEL_MISS = -1
 LABEL_INVALID = -2
@@ -83,26 +83,39 @@ class MatchConfig:
 
 @dataclass(frozen=True)
 class TableSpec:
-    """Static lookup-table geometry (see KmerTable.search_arrays)."""
+    """Static lookup geometry of the quotient hash (store/hash.py):
+    n = slot count (the unique-counter position space), nb_bits = log2 of
+    the bucket count."""
 
     n: int
-    iters: int
-    shift: int
+    nb_bits: int
 
 
 def build_match_arrays(table, tree):
-    """Search arrays with [node, tout, depth] aux planes + their TableSpec.
+    """Device lookup arrays for matching + their TableSpec.
 
-    Fusing the per-position taxonomy data into the lookup rows removes the
-    vidx->node_of_value->tout/depth gather chain from the device hot path
-    (each [B, W]-sized HBM gather costs ~15-30 ms on TPU v5e at 1M lanes)."""
-    nov = tree.node_of_value(table)
-    node_plane = nov[table.value_idx.astype(np.int64)].astype(np.int32)
-    safe = np.maximum(node_plane, 0)
-    tout_plane = np.where(node_plane >= 0, tree.tout[safe], 0).astype(np.int32)
-    depth_plane = np.where(node_plane >= 0, tree.depth[safe], 0).astype(np.int32)
-    sa = table.search_arrays(np.stack([node_plane, tout_plane, depth_plane], 1))
-    return sa, TableSpec(sa["n"], sa["iters"], sa["shift"])
+    Returns ({rows, vaux, vidx_of_slot}, spec): `rows` is the quotient-hash
+    bucket table ([NB, 8] i32, two row-gathers per lookup — see
+    store/hash.py); `vaux` is a small [n_values + 1, 4] value-indexed table
+    of (node, tout(node), depth(node), pad) gathered once per hit to attach
+    the taxonomy data (the value table is tiny, so this gather is cheap —
+    unlike per-entry fused planes, which would widen the hot hash rows 3x).
+    vidx_of_slot maps unique-counter slots back to values for host-side
+    aggregation (ref KMerUniqueCounterBits.getUniqueKmerCounts)."""
+    ht = build_hash(table.keys, table.value_idx)
+    nov = tree.node_of_value(table).astype(np.int32)
+    nv = len(nov)
+    safe = np.maximum(nov, 0)
+    vaux = np.zeros((nv + 1, 4), np.int32)
+    vaux[:nv, 0] = nov
+    vaux[:nv, 1] = np.where(nov >= 0, tree.tout[safe], 0)
+    vaux[:nv, 2] = np.where(nov >= 0, tree.depth[safe], 0)
+    vaux[nv] = (-1, 0, 0, 0)   # miss row
+    import jax.numpy as jnp
+    sa = {"rows": jnp.asarray(ht.rows), "vaux": jnp.asarray(vaux),
+          "vidx_of_slot": ht.vidx_of_slot, "n": ht.n_slots,
+          "nb_bits": ht.nb_bits}
+    return sa, TableSpec(ht.n_slots, ht.nb_bits)
 
 
 def _lca_pair(anc, a, b):
@@ -117,16 +130,15 @@ def _lca_pair(anc, a, b):
 @functools.partial(jax.jit, static_argnames=("cfg", "spec", "n_nodes"),
                    donate_argnames=("seen", "counts"))
 def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
-               inter, bucket_start, anc,
+               rows, vaux, anc,
                codes, lengths, seen, counts):
     """One batch of reads against the table. Returns per-read and per-node stats.
 
-    inter/bucket_start are the radix search arrays (KmerTable.search_arrays)
-    with aux planes [node, tout(node), depth(node)] fused into the rows, so
-    the verify gather of the lookup also delivers the per-window taxonomy
-    data — no separate [B, W]-sized gathers from node-indexed arrays.
-    seen/counts are donated unique-counter state ([n_table+1] uint8/int32;
-    last slot is a dummy scatter target).
+    rows is the quotient-hash bucket table (two [NB,8] row gathers per
+    lookup, store/hash.py); vaux is the small [n_values+1, 4] value table of
+    (node, tout(node), depth(node), pad) — one cheap row gather attaches the
+    per-window taxonomy data. seen/counts are donated unique-counter state
+    ([n_slots+1] uint8/int32; last slot is a dummy scatter target).
     """
     B, L = codes.shape
     T = n_nodes
@@ -135,16 +147,18 @@ def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
     hi, lo, clean, exists = window_kmers(codes, lengths, k)
     W = L - k + 1
 
-    pos, found_win, aux = lookup_radix(inter, bucket_start, hi, lo,
-                                       n=n_table, iters=spec.iters,
-                                       shift=spec.shift)
+    pos, found_win, vidx = lookup_hash(rows, hi, lo, nb_bits=spec.nb_bits)
     valid = clean & exists
     hit0 = valid & found_win
-    node = jnp.where(hit0, aux[..., 0], -1)
+    nv = vaux.shape[0] - 1
+    # flat [Q, 4] row-gather from the small value table (3-D gather outputs
+    # trigger a padded-layout slow path on TPU)
+    aux = vaux[jnp.where(hit0, vidx, nv).reshape(-1)]
+    node = jnp.where(hit0, aux[:, 0].reshape(B, W), -1)
     hit = hit0 & (node >= 0)
-    # tout/depth of the window's node, fused from the lookup row
-    tout_lab = jnp.where(hit, aux[..., 1], 0)
-    depth_lab = jnp.where(hit, aux[..., 2], anc.shape[1])
+    # tout/depth of the window's node, from the small value-indexed table
+    tout_lab = jnp.where(hit, aux[:, 1].reshape(B, W), 0)
+    depth_lab = jnp.where(hit, aux[:, 2].reshape(B, W), anc.shape[1])
     label = jnp.where(exists,
                       jnp.where(clean, jnp.where(hit, node, LABEL_MISS), LABEL_INVALID),
                       LABEL_NONE)

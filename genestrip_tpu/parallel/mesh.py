@@ -46,7 +46,7 @@ def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, spec: TableSpec,
     """A jitted shard_map data-parallel match step over the given mesh.
 
     Signature matches match_step minus the static args:
-      fn(inter, bucket_start, anc, codes, lengths, seen, counts) -> outputs
+      fn(rows, vaux, anc, codes, lengths, seen, counts) -> outputs
     codes/lengths are sharded over `axis`; seen/counts carry a leading device
     axis (per-shard partial unique-counter state); table/tree arrays are
     replicated. Per-node outputs come back shard-merged (psum/pmax); per-read
@@ -56,10 +56,10 @@ def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, spec: TableSpec,
     """
     n_dev = mesh.shape[axis]
 
-    def local_step(inter, bucket_start, anc, codes, lengths, seen, counts):
+    def local_step(rows, vaux, anc, codes, lengths, seen, counts):
         B_local, L = codes.shape
         W = L - cfg.k + 1
-        out = match_step(cfg, spec, n_nodes, inter, bucket_start, anc,
+        out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
                          codes, lengths, seen[0], counts[0])
         idx = jax.lax.axis_index(axis)
         res = {}

@@ -34,11 +34,14 @@ class KmerIndex:
         return KmerIndex(db.k, db.table.keys[mask])
 
     def search_arrays(self):
-        """Radix search arrays (no aux planes) for the containment probe."""
+        """Quotient-hash arrays for the containment probe (two row gathers
+        per lookup, see store/hash.py)."""
         if self._device is None:
-            t = KmerTable(self.k, self.keys,
-                          np.zeros(len(self.keys), np.uint16), ["0"])
-            self._device = t.search_arrays()
+            import jax.numpy as jnp
+            from genestrip_tpu.store.hash import build_hash
+            ht = build_hash(self.keys, np.zeros(len(self.keys), np.int64))
+            self._device = {"rows": jnp.asarray(ht.rows),
+                            "nb_bits": ht.nb_bits}
         return self._device
 
     def contains_np(self, kmers: np.ndarray) -> np.ndarray:

@@ -1,67 +1,101 @@
-"""Hash-table layout: build + device-lookup parity against the sorted table."""
+"""Quotient-hash layout: build + device-lookup parity against the sorted
+table, including exactness on misses (zero false positives)."""
 
 import numpy as np
 import jax.numpy as jnp
 
 from genestrip_tpu.ops.kmer import split_u64
-from genestrip_tpu.store.hash import BUCKET, build_hash, lookup_hash
+from genestrip_tpu.store.hash import (
+    BUCKET, build_hash, lookup_hash, max_values_for,
+)
 
 
-def _world(n, seed=0, kbits=62):
+def _world(n, seed=0, kbits=62, vmax=60000):
     rng = np.random.default_rng(seed)
     keys = np.unique(rng.integers(0, 1 << kbits, n + 64, dtype=np.uint64))[:n]
-    aux = np.stack([rng.integers(0, 30000, len(keys)).astype(np.int32),
-                    rng.integers(0, 40, len(keys)).astype(np.int32)], axis=1)
-    vidx = rng.integers(0, 60000, len(keys)).astype(np.uint16)
-    return keys, aux, vidx
+    vidx = rng.integers(0, min(vmax, max_values_for(len(keys))),
+                        len(keys)).astype(np.int64)
+    return keys, vidx
+
+
+def _lookup(ht, q):
+    q_hi, q_lo = split_u64(q)
+    slot, found, vidx = lookup_hash(
+        jnp.asarray(ht.rows), jnp.asarray(q_hi), jnp.asarray(q_lo),
+        nb_bits=ht.nb_bits)
+    return np.asarray(slot), np.asarray(found), np.asarray(vidx)
 
 
 def test_build_places_all_keys():
-    keys, aux, vidx = _world(50_000)
-    ht = build_hash(keys, aux, vidx)
-    assert ht.rows.shape[1] == 16 + 2 * 8
-    # every key's slot holds its own hi/lo
-    b, l = ht.slot_of_entry // BUCKET, ht.slot_of_entry % BUCKET
-    hi, lo = split_u64(keys)
-    np.testing.assert_array_equal(ht.rows[b, l].view(np.uint32), hi)
-    np.testing.assert_array_equal(ht.rows[b, 8 + l].view(np.uint32), lo)
+    keys, vidx = _world(50_000)
+    ht = build_hash(keys, vidx)
+    assert ht.rows.shape[1] == 8
     np.testing.assert_array_equal(ht.vidx_of_slot[ht.slot_of_entry], vidx)
-    # slots are unique
+    # slots are unique and in range
     assert len(np.unique(ht.slot_of_entry)) == len(keys)
+    assert int(ht.slot_of_entry.max()) < ht.n_slots
 
 
 def test_lookup_parity_hits_and_misses():
-    keys, aux, vidx = _world(80_000, seed=3)
-    ht = build_hash(keys, aux, vidx)
+    keys, vidx = _world(80_000, seed=3)
+    ht = build_hash(keys, vidx)
     rng = np.random.default_rng(7)
     q_hit = keys[rng.integers(0, len(keys), 5000)]
     q_miss = rng.integers(0, 1 << 62, 5000, dtype=np.uint64)
     q_miss = q_miss[~np.isin(q_miss, keys)]
     q = np.concatenate([q_hit, q_miss])
-    q_hi, q_lo = split_u64(q)
-    slot, found, aux_out = lookup_hash(
-        jnp.asarray(ht.rows), jnp.asarray(q_hi), jnp.asarray(q_lo),
-        nb=ht.nb, n_aux=2)
-    slot, found, aux_out = np.asarray(slot), np.asarray(found), np.asarray(aux_out)
+    slot, found, v = _lookup(ht, q)
     nh = len(q_hit)
     assert found[:nh].all()
     assert not found[nh:].any()
-    assert (slot[nh:] == ht.nb * BUCKET).all()
-    # slot + aux parity for hits
+    assert (slot[nh:] == ht.n_slots).all()
+    assert (v[nh:] == -1).all()
     pos = np.searchsorted(keys, q_hit)
     np.testing.assert_array_equal(slot[:nh], ht.slot_of_entry[pos])
-    np.testing.assert_array_equal(aux_out[:nh], aux[pos])
+    np.testing.assert_array_equal(v[:nh], vidx[pos])
+
+
+def test_exactness_adversarial_bucket_collisions():
+    """Queries engineered to share buckets with stored keys must not
+    false-positive: sweep a dense key range so many bucket collisions and
+    near-collisions occur."""
+    keys = np.arange(1_000_000, 1_200_000, dtype=np.uint64)
+    vidx = (keys % 1000).astype(np.int64)
+    ht = build_hash(keys, vidx)
+    q = np.arange(900_000, 1_500_000, 7, dtype=np.uint64)
+    slot, found, v = _lookup(ht, q)
+    expect = (q >= 1_000_000) & (q < 1_200_000)
+    np.testing.assert_array_equal(found, expect)
+    np.testing.assert_array_equal(v[expect], (q[expect] % 1000).astype(np.int64))
 
 
 def test_lookup_2d_shapes_and_small_k():
     # k=15 keys (30-bit): hi plane is all zeros; empties must not collide
-    keys, aux, vidx = _world(10_000, seed=5, kbits=30)
-    ht = build_hash(keys, aux, vidx)
-    q = np.concatenate([keys[:512], np.arange(1 << 30, (1 << 30) + 512, dtype=np.uint64)])
-    q_hi, q_lo = split_u64(q)
-    slot, found, aux_out = lookup_hash(
-        jnp.asarray(ht.rows), jnp.asarray(q_hi.reshape(32, 32)),
-        jnp.asarray(q_lo.reshape(32, 32)), nb=ht.nb, n_aux=2)
-    found = np.asarray(found).reshape(-1)
+    keys, vidx = _world(10_000, seed=5, kbits=30)
+    ht = build_hash(keys, vidx)
+    q = np.concatenate([keys[:512],
+                        np.arange(1 << 30, (1 << 30) + 512, dtype=np.uint64)])
+    miss_mask = ~np.isin(q[512:], keys)
+    slot, found, v = _lookup(
+        ht, q.reshape(32, 32))
+    found = found.reshape(-1)
     assert found[:512].all()
-    assert not found[512:].any()
+    assert not found[512:][miss_mask].any()
+
+
+def test_empty_and_tiny_tables():
+    ht = build_hash(np.zeros(0, np.uint64), np.zeros(0, np.int64))
+    q = np.arange(0, 64, dtype=np.uint64)
+    slot, found, v = _lookup(ht, q)
+    assert not found.any()
+    ht2 = build_hash(np.array([5, 77], np.uint64), np.array([1, 0], np.int64))
+    slot, found, v = _lookup(ht2, q)
+    assert found.sum() == 1 and v[5] == 1          # only key 5 is in range
+    s5, f5, v5 = _lookup(ht2, np.array([5, 77, 6], np.uint64))
+    assert list(f5) == [True, True, False]
+    assert list(v5[:2]) == [1, 0]
+
+
+def test_value_capacity_scales_with_table():
+    assert max_values_for(100) == (1 << 16) - 1
+    assert max_values_for(40_000_000) > 1 << 20
