@@ -110,6 +110,11 @@ def build_hash(keys: np.ndarray, value_idx: np.ndarray) -> KmerHashTable:
     h2, l2 = _feistel_np(hi, lo)
 
     nb_bits = max(int(np.ceil(np.log2(max(2 * n, 1) / BUCKET + 1))), MIN_NB_BITS)
+    # widen buckets until the value-index space fits (vidx gets nb-1 bits,
+    # all-ones reserved as the empty marker)
+    max_vidx = int(np.max(value_idx)) if n else 0
+    while (1 << (nb_bits - 1)) - 1 <= max_vidx:
+        nb_bits += 1
     while True:
         nb = 1 << nb_bits
         mask = np.uint32(nb - 1)

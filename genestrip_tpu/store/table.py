@@ -33,8 +33,13 @@ import numpy as np
 
 from genestrip_tpu.ops.kmer import merge_u64, split_u64
 
-# Maximum number of distinct values (ref: KMerSortedArray.MAX_VALUES = 65535).
-MAX_VALUES = 65535
+# Maximum number of distinct values. The reference's sorted array caps at
+# 65,535 (KMerSortedArray.MAX_VALUES) and its radix store at ~512k
+# (RadixKMerStore.maxValuesForRadix); the TPU layout stores value indices in
+# int32 host-side and packs them into the quotient-hash rows on device
+# (store/hash.py caps at 2^(nb_bits-1)-1, which the hash builder widens to
+# fit) — 4M values covers bacteria-scale databases with room to spare.
+MAX_VALUES = (1 << 22) - 1
 
 
 class TableBuilder:
@@ -69,14 +74,14 @@ class TableBuilder:
             return
         vidx = self.get_add_value_index(value)
         self._kmer_chunks.append(np.asarray(kmers, dtype=np.uint64))
-        self._vidx_chunks.append(np.full(len(kmers), vidx, dtype=np.uint16))
+        self._vidx_chunks.append(np.full(len(kmers), vidx, dtype=np.int32))
 
     def add_pairs(self, kmers: np.ndarray, vidx: np.ndarray) -> None:
         """Add a chunk of (k-mer, value-index) pairs (indices must already exist)."""
         if len(kmers) == 0:
             return
         self._kmer_chunks.append(np.asarray(kmers, dtype=np.uint64))
-        self._vidx_chunks.append(np.asarray(vidx, dtype=np.uint16))
+        self._vidx_chunks.append(np.asarray(vidx, dtype=np.int32))
 
     def pending_kmers(self) -> int:
         return sum(len(c) for c in self._kmer_chunks)
@@ -87,7 +92,7 @@ class TableBuilder:
             vidx = np.concatenate(self._vidx_chunks)
         else:
             kmers = np.zeros(0, dtype=np.uint64)
-            vidx = np.zeros(0, dtype=np.uint16)
+            vidx = np.zeros(0, dtype=np.int32)
         # Stable sort keeps first-inserted entry first within equal k-mers;
         # dedup then keeps that first entry (first putLong wins, as in the
         # reference's fill-filter dedup).
@@ -108,7 +113,7 @@ class KmerTable:
 
     k: int
     keys: np.ndarray        # uint64 [N], sorted ascending
-    value_idx: np.ndarray   # uint16 [N]
+    value_idx: np.ndarray   # int32 [N]
     values: list[str]       # value index -> taxid string
     value_map: dict[str, int] = field(default_factory=dict)
     _device: dict | None = field(default=None, repr=False)
@@ -160,7 +165,7 @@ class KmerTable:
     # -- update (LCA phase) --------------------------------------------------
 
     def set_value_idx_at(self, pos: np.ndarray, vidx: np.ndarray) -> None:
-        self.value_idx[pos] = vidx.astype(np.uint16)
+        self.value_idx[pos] = vidx.astype(np.int32)
         self._device = None
 
     # -- stats ---------------------------------------------------------------
