@@ -127,3 +127,61 @@ def resources_from_paths(paths, assume_gzip_urls: bool = True) -> list[Streaming
                 gz = True
             out.append(StreamingResource(s, assume_gzip=gz))
     return out
+
+
+class Progress:
+    """Throttled progress/throughput logging bound to a byte-counted resource.
+
+    Reference equivalent: the per-file progress of
+    fastq/AbstractLoggingFastqStreamer.java:95-140 and the byte-counting bars
+    of base util/progressbar/GSProgressBarCreator.java:71 — rendered as log
+    lines (units done, MB read, percent, units/s, ETA) instead of a TTY bar.
+    """
+
+    def __init__(self, task: str, resource: StreamingResource | None = None,
+                 enabled: bool = True, interval_ms: int = 1000,
+                 unit: str = "reads"):
+        import logging
+        import time as _time
+        self._log = logging.getLogger("genestrip")
+        self.task = task
+        self.resource = resource
+        self.enabled = enabled and self._log.isEnabledFor(logging.INFO)
+        self.interval = max(interval_ms, 100) / 1000.0
+        self.unit = unit
+        self._time = _time
+        self.units = 0
+        self.size = resource.size() if resource is not None else None
+        self.t0 = _time.time()
+        self._last = self.t0
+        if self.enabled:
+            name = resource.name if resource is not None else ""
+            self._log.info("%s: started %s", task, name)
+
+    def update(self, units: int) -> None:
+        self.units += units
+        if not self.enabled:
+            return
+        now = self._time.time()
+        if now - self._last < self.interval:
+            return
+        self._last = now
+        el = max(now - self.t0, 1e-9)
+        rate = self.units / el
+        msg = f"{self.task}: {self.units} {self.unit} ({rate:,.0f}/s)"
+        if self.resource is not None and self.resource.counter is not None:
+            br = self.resource.counter.bytes_read
+            msg += f", {br / 1e6:.1f} MB"
+            if self.size:
+                frac = min(br / self.size, 1.0)
+                if frac > 0:
+                    eta = el * (1 - frac) / frac
+                    msg += f" ({frac * 100:.0f}%, ETA {eta:.0f}s)"
+        self._log.info(msg)
+
+    def done(self) -> None:
+        if not self.enabled:
+            return
+        el = max(self._time.time() - self.t0, 1e-9)
+        self._log.info(f"{self.task}: done — {self.units} {self.unit} in "
+                       f"{el:.1f}s ({self.units / el:,.0f} {self.unit}/s)")

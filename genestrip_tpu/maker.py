@@ -950,6 +950,9 @@ class _MatchResGoal(ObjectGoal):
                               batch_size=p["matchBatchSize"],
                               max_kmer_res_counts=p["maxKMerResCounts"],
                               write_all=p["writeAll"])
+            matcher.with_probs = p["withProbs"]
+            matcher.progress = p["progressBar"]
+            matcher.progress_interval_ms = p["progressBarUpdateMs"]
             gz = p["gzipFastqOutput"]
             filtered = kraken = None
             try:
@@ -1032,7 +1035,8 @@ class _FilterGoal(FileGoal):
             out_path.parent.mkdir(parents=True, exist_ok=True)
             ff = FastqFilter(index, min_pos_count=p["minPosCountFilter"],
                              pos_ratio=p["posRatioFilter"],
-                             batch_size=p["matchBatchSize"])
+                             batch_size=p["matchBatchSize"],
+                             with_probs=p["withProbs"])
             dumped = None
             filtered = open_output(out_path)
             try:

@@ -42,7 +42,9 @@ def filter_step(k: int, nb_bits: int,
 
 class FastqFilter:
     def __init__(self, index: KmerIndex, min_pos_count: int = 1,
-                 pos_ratio: float = 0.2, batch_size: int = 8192):
+                 pos_ratio: float = 0.2, batch_size: int = 8192,
+                 with_probs: bool = False):
+        self.with_probs = with_probs
         self.index = index
         self.min_pos_count = min_pos_count
         self.pos_ratio = pos_ratio
@@ -51,14 +53,17 @@ class FastqFilter:
         self.total = 0
 
     def run(self, resources, filtered_out, dumped_out=None) -> None:
+        from genestrip_tpu.io.streams import Progress
         d = self.index.search_arrays()
         for res in resources:
             if not isinstance(res, StreamingResource):
                 res = StreamingResource(res)
             fasta = res.type_hint == "fasta"
-            packer = BatchPacker(self.batch_size)
+            packer = BatchPacker(self.batch_size, with_probs=self.with_probs)
             with res.open() as stream:
+                progress = Progress(f"filter {res.name}", res)
                 for batch in parse_reads(stream, packer, fasta):
+                    progress.update(batch.n)
                     codes, lengths = batch.codes, batch.lengths
                     if batch.n < self.batch_size:
                         pad = self.batch_size - batch.n
@@ -84,3 +89,4 @@ class FastqFilter:
                             else:
                                 out.write(b"~" * len(batch.seqs[b]))
                             out.write(b"\n")
+                progress.done()

@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from genestrip_tpu.io.reads import BatchPacker, ReadBatch, parse_reads
-from genestrip_tpu.io.streams import StreamingResource
+from genestrip_tpu.io.streams import Progress, StreamingResource
 from genestrip_tpu.match.pipeline import (
     LABEL_INVALID, LABEL_MISS, MatchConfig, match_step,
 )
@@ -44,6 +44,12 @@ class Matcher:
         self.max_kmer_res_counts = max_kmer_res_counts
         self.write_all = write_all
         self.cfg = cfg
+        # progress/throughput logging (ref AbstractLoggingFastqStreamer)
+        self.progress = True
+        self.progress_interval_ms = 1000
+        # ref GSConfigKey withProbs: carry input quality strings through to
+        # filtered-fastq output instead of synthesizing '~'
+        self.with_probs = False
         T = len(tree)
         self.n_nodes = T
         devices = devices if devices is not None else jax.devices()
@@ -107,13 +113,18 @@ class Matcher:
             if not isinstance(res, StreamingResource):
                 res = StreamingResource(res)
             fasta = res.type_hint == "fasta"
-            packer = BatchPacker(self.batch_size)
+            packer = BatchPacker(self.batch_size, with_probs=self.with_probs)
             with res.open() as stream:
+                progress = Progress(f"match {res.name}", res,
+                                    enabled=self.progress,
+                                    interval_ms=self.progress_interval_ms)
                 for batch in parse_reads(stream, packer, fasta):
                     out = self._dispatch_batch(batch, kraken_out is not None)
                     if pending is not None:
                         self._finalize_batch(*pending, filtered_out, kraken_out)
                     pending = (batch, out)
+                    progress.update(batch.n)
+                progress.done()
         if pending is not None:
             self._finalize_batch(*pending, filtered_out, kraken_out)
         return self._build_result()
