@@ -31,6 +31,7 @@ class ReadBatch:
     seqs: list[bytes]            # raw sequence bytes (for rewriting output)
     probs: list[bytes] | None    # quality strings, or None
     read_no0: int                # read number of the first read in this batch
+    is_long: bool = False        # singleton batch holding one long read
 
     @property
     def n(self) -> int:
@@ -47,35 +48,59 @@ def _bucket_len(n: int, min_len: int = 64) -> int:
 
 
 class BatchPacker:
-    """Accumulates parsed reads and emits packed ReadBatches."""
+    """Accumulates parsed reads and emits packed ReadBatches.
 
-    def __init__(self, batch_size: int, lowercase: bool = True, with_probs: bool = False):
+    Reads longer than `long_threshold` bases are emitted as singleton
+    batches flagged `is_long`, cutting the current batch first so emission
+    order equals read order (the matcher routes them through the chunked
+    long-read path — SURVEY.md §5.7; ref matchlr, Goals.md:15)."""
+
+    def __init__(self, batch_size: int, lowercase: bool = True,
+                 with_probs: bool = False, long_threshold: int | None = None):
         self.batch_size = batch_size
         self.table = CODE_TABLE_LOWER if lowercase else CODE_TABLE
         self.with_probs = with_probs
+        self.long_threshold = long_threshold
         self._descs: list[bytes] = []
         self._seqs: list[bytes] = []
         self._probs: list[bytes] = []
+        self._ready: list[ReadBatch] = []
         self._read_no = 0
 
     def reset_read_no(self):
         self._read_no = 0
 
     def add(self, desc: bytes, seq: bytes, prob: bytes | None = None):
+        if self.long_threshold is not None and len(seq) > self.long_threshold:
+            if self._seqs:
+                self._ready.append(self._pack())
+            self._descs.append(desc)
+            self._seqs.append(seq)
+            if self.with_probs:
+                self._probs.append(prob or b"")
+            self._ready.append(self._pack(is_long=True))
+            return
         self._descs.append(desc)
         self._seqs.append(seq)
         if self.with_probs:
             self._probs.append(prob or b"")
+        if len(self._seqs) >= self.batch_size:
+            self._ready.append(self._pack())
 
     def __len__(self):
         return len(self._seqs)
 
     def full(self) -> bool:
-        return len(self._seqs) >= self.batch_size
+        return bool(self._ready) or len(self._seqs) >= self.batch_size
 
     def flush(self) -> ReadBatch | None:
+        if self._ready:
+            return self._ready.pop(0)
         if not self._seqs:
             return None
+        return self._pack()
+
+    def _pack(self, is_long: bool = False) -> ReadBatch:
         B = len(self._seqs)
         lengths = np.fromiter((len(s) for s in self._seqs), dtype=np.int32, count=B)
         L = _bucket_len(int(lengths.max(initial=1)))
@@ -87,7 +112,8 @@ class BatchPacker:
         cols = np.arange(starts[-1]) - np.repeat(starts[:-1], lengths)
         codes[rows, cols] = flat
         batch = ReadBatch(codes, lengths, self._descs, self._seqs,
-                          self._probs if self.with_probs else None, self._read_no)
+                          self._probs if self.with_probs else None, self._read_no,
+                          is_long=is_long)
         self._read_no += B
         self._descs, self._seqs, self._probs = [], [], []
         return batch
@@ -128,10 +154,12 @@ def parse_fastq(stream, packer: BatchPacker):
             prob_parts.append(line)
             prob_len += len(line)
         packer.add(desc, seq, b"".join(prob_parts) if packer.with_probs else None)
-        if packer.full():
+        while packer.full():
             yield packer.flush()
-    b = packer.flush()
-    if b is not None:
+    while True:
+        b = packer.flush()
+        if b is None:
+            break
         yield b
 
 
@@ -150,7 +178,7 @@ def parse_fasta_as_reads(stream, packer: BatchPacker):
         if line.startswith(b">"):
             if desc is not None:
                 packer.add(desc, b"".join(seq_parts))
-                if packer.full():
+                while packer.full():
                     yield packer.flush()
             desc = b"@" + line[1:].rstrip(b"\r\n")
             seq_parts = []
@@ -158,8 +186,10 @@ def parse_fasta_as_reads(stream, packer: BatchPacker):
             seq_parts.append(line.rstrip(b"\r\n"))
     if desc is not None:
         packer.add(desc, b"".join(seq_parts))
-    b = packer.flush()
-    if b is not None:
+    while True:
+        b = packer.flush()
+        if b is None:
+            break
         yield b
 
 

@@ -50,6 +50,13 @@ class Matcher:
         # ref GSConfigKey withProbs: carry input quality strings through to
         # filtered-fastq output instead of synthesizing '~'
         self.with_probs = False
+        # Long-read handling (SURVEY.md §5.7): reads longer than this many
+        # bases are cut into singleton batches; with classification off
+        # (matchlr, ref Goals.md:15) they are matched in fixed-size window
+        # chunks whose per-node stats merge on the host — memory stays
+        # bounded for arbitrarily long (e.g. 1 Mbp nanopore) reads.
+        self.long_read_threshold = 10_000
+        self.long_chunk_windows = 8192
         T = len(tree)
         self.n_nodes = T
         devices = devices if devices is not None else jax.devices()
@@ -113,12 +120,22 @@ class Matcher:
             if not isinstance(res, StreamingResource):
                 res = StreamingResource(res)
             fasta = res.type_hint == "fasta"
-            packer = BatchPacker(self.batch_size, with_probs=self.with_probs)
+            packer = BatchPacker(self.batch_size, with_probs=self.with_probs,
+                                 long_threshold=self.long_read_threshold)
             with res.open() as stream:
                 progress = Progress(f"match {res.name}", res,
                                     enabled=self.progress,
                                     interval_ms=self.progress_interval_ms)
                 for batch in parse_reads(stream, packer, fasta):
+                    if batch.is_long and not self.cfg.classify:
+                        # chunked long-read path (host-merged stats); keep
+                        # output order by finalizing the pending batch first
+                        if pending is not None:
+                            self._finalize_batch(*pending, filtered_out, kraken_out)
+                            pending = None
+                        self._match_long_read(batch, filtered_out, kraken_out)
+                        progress.update(1)
+                        continue
                     out = self._dispatch_batch(batch, kraken_out is not None)
                     if pending is not None:
                         self._finalize_batch(*pending, filtered_out, kraken_out)
@@ -139,8 +156,11 @@ class Matcher:
         # inert) so XLA compiles one shape per length bucket, not per batch.
         n_real = batch.n
         codes, lengths = batch.codes, batch.lengths
-        if n_real < self.batch_size:
-            pad = self.batch_size - n_real
+        # long singleton batches keep B minimal (mesh divisibility only) so
+        # padding cost does not scale with batch_size * read length
+        b_target = self._n_dev if batch.is_long else self.batch_size
+        if n_real < b_target:
+            pad = b_target - n_real
             codes = np.concatenate(
                 [codes, np.full((pad, codes.shape[1]), 255, np.uint8)])
             lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
@@ -162,6 +182,104 @@ class Matcher:
         self._seen = out["seen"]
         self._counts = out["counts"]
         return out
+
+    def _match_long_read(self, batch: ReadBatch, filtered_out, kraken_out):
+        """Match one long read in fixed-window chunks (classification off).
+
+        Chunks overlap by k-1 bases so their window sets partition the
+        read's windows exactly; chunk rows form the batch dimension (sharded
+        over the mesh like ordinary reads). Contig stats are computed on the
+        host from the concatenated label row, so runs spanning chunk
+        boundaries merge exactly as in the unchunked case
+        (ref FastqKMerMatcher.java:390-420; SURVEY.md §5.7)."""
+        cfg, k = self.cfg, self.cfg.k
+        n = int(batch.lengths[0])
+        seq_codes = batch.codes[0, :n]
+        n_win = n - k + 1
+        C = self.long_chunk_windows
+        n_chunks = -(-n_win // C)
+        Bc = max(self._n_dev, 8)
+        while Bc < n_chunks:
+            Bc *= 2
+        Lc = C + k - 1
+        mat = np.full((Bc, Lc), 255, np.uint8)
+        clens = np.zeros(Bc, np.int32)
+        for i in range(n_chunks):
+            start = i * C
+            end = min(start + Lc, n)
+            mat[i, : end - start] = seq_codes[start:end]
+            clens[i] = end - start
+        cfg2 = MatchConfig(k=k, max_paths=cfg.max_paths, classify=False,
+                           with_unique=cfg.with_unique,
+                           with_counts=cfg.with_counts, return_labels=True)
+        if self._mesh is not None:
+            step = self._sharded_steps.get(cfg2)
+            if step is None:
+                step = mesh_mod.make_sharded_match_step(
+                    self._mesh, cfg2, self._spec, self.n_nodes)
+                self._sharded_steps[cfg2] = step
+            out = step(self._rows, self._vaux, self._anc,
+                       jax.device_put(mat, self._batch_sharding),
+                       jax.device_put(clens, self._batch_sharding),
+                       self._seen, self._counts)
+        else:
+            out = match_step(cfg2, self._spec, self.n_nodes,
+                             self._rows, self._vaux, self._anc,
+                             jnp.asarray(mat), jnp.asarray(clens),
+                             self._seen, self._counts)
+        self._seen = out["seen"]
+        self._counts = out["counts"]
+
+        # windows of chunk i sit at label row i columns [0, C) (full rows
+        # have exactly C valid windows); trailing invalid columns only in
+        # the last chunk row
+        lab = np.asarray(out["label"])[:n_chunks, :C].reshape(-1)[:n_win]
+
+        self.total_reads += 1
+        self.total_kmers += n_win
+        self.total_bps += n
+
+        ch = np.nonzero(np.diff(lab))[0] + 1
+        starts = np.concatenate([[0], ch])
+        ends = np.concatenate([ch, [n_win]])
+        vals = lab[starts]
+        runs = (ends - starts).astype(np.int64)
+        hit = vals >= 0
+        hv, hr = vals[hit].astype(np.int64), runs[hit]
+        np.add.at(self.kmers, hv, hr)
+        np.add.at(self.contigs, hv, 1)
+        np.add.at(self.contig_sq, hv, hr * hr)
+        np.add.at(self.reads1, np.unique(hv), 1)
+        desc = batch.descriptors[0]
+        sp = desc.find(b" ")
+        name = desc[1:sp if sp >= 0 else len(desc)]
+        # first achiever in read order wins (strict >), as in the batch path
+        order = np.argsort(starts[hit], kind="stable")
+        for j in order:
+            t, ln = int(hv[j]), int(hr[j])
+            if ln > self.max_contig[t]:
+                self.max_contig[t] = ln
+                self.max_contig_desc[t] = name
+
+        found = bool(hit.any())
+        if filtered_out is not None and found:
+            filtered_out.write(desc + b"\n" + batch.seqs[0] + b"\n+\n")
+            probs = batch.probs
+            if probs is not None and probs[0]:
+                filtered_out.write(probs[0])
+            else:
+                filtered_out.write(b"~" * len(batch.seqs[0]))
+            filtered_out.write(b"\n")
+        if kraken_out is not None:
+            taxids = self.tree.taxids
+            segs = []
+            for s0, e0 in zip(starts, ends):
+                v = int(lab[s0])
+                tag = (b"A" if v == LABEL_INVALID else
+                       b"0" if v == LABEL_MISS else taxids[v].encode())
+                segs.append(tag + b":" + str(e0 - s0).encode())
+            kraken_out.write(b"U\t" + name + b"\t0\t" + str(n).encode() +
+                             b"\t" + b" ".join(segs) + b"\n")
 
     def _finalize_batch(self, batch: ReadBatch, out, filtered_out, kraken_out):
         cfg = self.cfg
