@@ -137,7 +137,9 @@ _KEYS = [
     Key("initialReadSizeBytes", "int", 4096, 1),
     Key("maxClassificationPaths", "int", 10, 1),
     Key("fastaLineSizeBytes", "int", 4096, 1),
-    Key("krakenBin", "str", ""),
+    Key("krakenBin", "str", "krakenuniq"),
+    Key("krakenExecExpr", "str", "{0} -db {1} {2}"),
+    Key("krakenDB", "str", ""),
     # TPU-specific keys (new in this implementation)
     Key("matchBatchSize", "int", 8192, 1),
     Key("dbBuildChunkKMers", "int", 1 << 24, 1 << 16),
@@ -145,17 +147,38 @@ _KEYS = [
 
 KEYS: dict[str, Key] = {k.name: k for k in _KEYS}
 
+# Keys accepted for compatibility but non-functional in this implementation,
+# with the reason. The reference warns about misapplied keys
+# (Project.checkConfigProperties:300); we warn when one is set explicitly.
+NOOP_KEYS: dict[str, str] = {
+    "useBloomFilterForMatch": "the exact quotient hash replaces the bloom pre-filter",
+    "useRadixStore": "the device store is always the quotient hash",
+    "radixStoreBits": "the device store is always the quotient hash",
+    "xorBloomHash": "no bloom filters in this implementation (exact dedup)",
+    "tempBloomFilterFpp": "no bloom filters in this implementation (exact dedup)",
+    "indexBloomFilterFpp": "the filter index is exact, not probabilistic",
+    "fillBloomFilterFpp": "no bloom filters in this implementation (exact dedup)",
+    "optBloomFilterFpp": "no bloom filters in this implementation (exact dedup)",
+    "threadQueueSize": "batched device pipeline replaces the thread queue",
+    "initialReadSizeBytes": "reads are packed into resizable numpy batches",
+    "fastaLineSizeBytes": "reads are packed into resizable numpy batches",
+}
+
 
 class Config:
     """Layered typed configuration (highest first: overrides > project > base)."""
 
     def __init__(self, *layers: dict):
         self.layers = [dict(l) for l in layers if l]
+        import logging
+        _log = logging.getLogger("genestrip")
         for layer in self.layers:
             for name in layer:
                 if name not in KEYS:
-                    import logging
-                    logging.getLogger("genestrip").warning("Unknown config key: %s", name)
+                    _log.warning("Unknown config key: %s", name)
+                elif name in NOOP_KEYS:
+                    _log.warning("Config key '%s' has no effect in this "
+                                 "implementation: %s", name, NOOP_KEYS[name])
 
     def get(self, name: str):
         key = KEYS[name]

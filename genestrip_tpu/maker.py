@@ -41,6 +41,23 @@ log = logging.getLogger("genestrip")
 TAX_DMP_ZIP = "taxdmp.zip"
 
 
+def _ncbi_url(p, path: str) -> str:
+    """NCBI URL honoring useHttp: HTTP at httpBaseURL, else anonymous FTP at
+    ftpBaseURL (ref: make/FileDownloadGoal.java:183-207 — the FTP path;
+    urllib handles ftp:// URLs natively)."""
+    if p["useHttp"]:
+        return p["httpBaseURL"] + path
+    return "ftp://" + p["ftpBaseURL"] + path
+
+
+def _refseq_url(p, path: str) -> str:
+    """RefSeq URL honoring useHttp (ref: RefSeqDownloadGoal getFTPDir —
+    the FTP directory is /refseq/<path> on refseq.ftpBaseURL)."""
+    if p["useHttp"]:
+        return p["refseq.httpBaseURL"] + path
+    return "ftp://" + p["refseq.ftpBaseURL"] + "/refseq" + path
+
+
 class GSMaker:
     """Builds and owns the goal graph for one project."""
 
@@ -216,6 +233,14 @@ class GSMaker:
                 loaddb.get())))
         reg(_DBQualityCSVGoal(p, loaddb, dbqualitycounts))
 
+        # ---- kraken interop (ref: goals/kraken/KrakenResCountGoal.java,
+        #      KrakenResFileGoal.java — the reference's external parity
+        #      harness; needs a kraken binary on PATH or krakenBin) ----
+        krakencount = reg(ObjectGoal(
+            p, "krakencount", deps=[fastqmap, taxnodes],
+            func=lambda: self._kraken_count(fastqmap.get(), taxnodes.get())))
+        reg(_KrakenResGoal(p, krakencount))
+
         # ---- refseq extraction (ref: GSMaker.java:302-307) ----
         extractrefseqfasta = reg(ObjectGoal(
             p, "extractrefseqfasta",
@@ -381,6 +406,27 @@ class GSMaker:
             scanner.feed_file(f, mapped_node=node)
         return scanner.finish()
 
+    def _kraken_count(self, fastq_map, tax_nodes):
+        """Run the external kraken binary over each input key and accumulate
+        per-taxid read/k-mer stats (ref: goals/kraken/KrakenResCountGoal.java
+        :100-180), restricted to the requested tax nodes when taxids.txt
+        exists. Inputs must be local files (ref uses StreamingFileResource)."""
+        from genestrip_tpu.kraken import KrakenExecutor, count_kraken_results
+        p = self.project
+        executor = KrakenExecutor(p["krakenBin"], p["krakenExecExpr"])
+        taxids = {n.taxid for n in tax_nodes} if tax_nodes else None
+        out = {}
+        for key, resources in fastq_map.items():
+            files = []
+            for res in resources:
+                if res.is_url:
+                    raise IOError(f"krakencount needs local files, got URL "
+                                  f"{res.source} (use -l/-ll to download)")
+                files.append(res._local_path())
+            out[key] = count_kraken_results(executor, p["krakenDB"], files,
+                                            taxids)
+        return out
+
     def _extract_refseq_fastas(self, tax_nodes, categories, accmap_goal,
                                refseqfna) -> dict[str, str]:
         """Split the bundled RefSeq fna files into one fasta per included
@@ -512,7 +558,7 @@ class _TaxDownloadGoal(FileGoal):
         p = self.project
         common = p.common.common_dir
         zip_path = common / TAX_DMP_ZIP
-        url = p["httpBaseURL"] + "/pub/taxonomy/" + TAX_DMP_ZIP
+        url = _ncbi_url(p, "/pub/taxonomy/" + TAX_DMP_ZIP)
         download(url, zip_path, tries=p["maxDownloadTries"])
         with zipfile.ZipFile(zip_path) as z:
             for name in ("nodes.dmp", "names.dmp"):
@@ -530,7 +576,7 @@ class _ReleaseNumberGoal(FileGoal):
 
     def make_file(self, f):
         p = self.project
-        download(p["refseq.httpBaseURL"] + "/release/RELEASE_NUMBER", f,
+        download(_refseq_url(p, "/release/RELEASE_NUMBER"), f,
                  tries=p["maxDownloadTries"])
 
     def release_number(self) -> str:
@@ -570,7 +616,7 @@ class _CatalogDownloadGoal(FileGoal):
 
     def make_file(self, f):
         p = self.project
-        url = p["refseq.httpBaseURL"] + "/release/release-catalog/" + f.name
+        url = _refseq_url(p, "/release/release-catalog/" + f.name)
         download(url, f, tries=p["maxDownloadTries"])
 
     def keep_on_clean_all(self):
@@ -623,7 +669,7 @@ class _FnaFilesDownloadGoal(FileGoal):
     def make_file(self, f):
         p = self.project
         cat = self.file2cat[f]
-        url = p["refseq.httpBaseURL"] + "/release/" + cat + "/" + f.name
+        url = _refseq_url(p, "/release/" + cat + "/" + f.name)
         md5 = self.checksum_goal.get().get(f.name)
         try:
             download(url, f, md5=md5, tries=p["maxDownloadTries"],
@@ -648,7 +694,7 @@ class _AssemblyDownloadGoal(FileGoal):
 
     def make_file(self, f):
         p = self.project
-        download(p["httpBaseURL"] + "/genomes/genbank/" + f.name, f,
+        download(_ncbi_url(p, "/genomes/genbank/" + f.name), f,
                  tries=p["maxDownloadTries"])
 
     def keep_on_clean_all(self):
@@ -1000,6 +1046,40 @@ class _MatchGoal(FileGoal):
             if not f.exists():
                 f.parent.mkdir(parents=True, exist_ok=True)
                 write_match_report(self.matchres.get()[key], f)
+
+
+class _KrakenResGoal(FileGoal):
+    """Writes per-taxid kraken stats CSV per key
+    (ref: goals/kraken/KrakenResFileGoal.java:70-107)."""
+
+    def __init__(self, project, krakencount):
+        super().__init__(project, "krakenres", None, [krakencount])
+        self.krakencount = krakencount
+
+    @property
+    def files(self):
+        self._files = [
+            self.project.output_file(self.name, "kraken_out_res", key=key)
+            for key in self.krakencount.get().keys()]
+        return self._files
+
+    def is_made(self):
+        try:
+            return bool(self.files) and super().is_made()
+        except Exception:
+            return False
+
+    def do_make(self):
+        for key, stats in self.krakencount.get().items():
+            f = self.project.output_file(self.name, "kraken_out_res", key=key)
+            if f.exists():
+                continue
+            f.parent.mkdir(parents=True, exist_ok=True)
+            with open(f, "w", encoding="utf-8") as out:
+                out.write("taxid;reads;kmers;kmers in matching reads\n")
+                for s in stats:
+                    out.write(f"{s.taxid};{s.reads};{s.kmers};"
+                              f"{s.kmers_in_matching_reads};\n")
 
 
 class _FilterGoal(FileGoal):

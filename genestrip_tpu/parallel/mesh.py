@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from genestrip_tpu.match.pipeline import MatchConfig, TableSpec, match_step
 
@@ -99,8 +102,12 @@ def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, spec: TableSpec,
         keys.append("label")
     out_specs = {k_: spec_for(k_) for k_ in keys}
 
-    fn = shard_map(local_step, mesh=mesh, in_specs=in_specs,
-                   out_specs=out_specs, check_rep=False)
+    try:
+        fn = shard_map(local_step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    except TypeError:  # older jax: check_rep instead of check_vma
+        fn = shard_map(local_step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_rep=False)
     return jax.jit(fn, donate_argnums=(5, 6))
 
 
