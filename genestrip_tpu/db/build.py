@@ -183,16 +183,30 @@ class DBFiller:
 
 class DBUpdater:
     """The LCA update phase (ref: DBGoal). Rewrites each stored k-mer's value
-    to the LCA of its current node and the node of every region it occurs in."""
+    to the LCA of its current node and the node of every region it occurs in.
+
+    Scaling redesign: regions are accumulated into large chunks
+    (`chunk_kmers`, config dbBuildChunkKMers) and applied in ONE bulk pass —
+    one table search over the whole chunk, LCAs computed once per distinct
+    (current value, region node) pair. The reference proves order
+    independence of the LCA merge (FastaReaderGoal.java:104-109 — it is
+    commutative/associative), which is exactly what makes chunked batch
+    application equivalent to the per-region loop. k-mers hit by several
+    distinct nodes within one chunk are folded sequentially (rare path)."""
 
     def __init__(self, tree: TaxTree, table: KmerTable, tax_nodes: set[TaxNode],
-                 accession_map, opts: BuildOptions):
+                 accession_map, opts: BuildOptions,
+                 chunk_kmers: int = 1 << 24):
         self.tree = tree
         self.table = table
         self.tax_nodes = tax_nodes
         self.accession_map = accession_map
         self.opts = opts
         self.kmers_moved = 0
+        self.chunk_kmers = max(int(chunk_kmers), 1)
+        self._pend_kmers: list[np.ndarray] = []
+        self._pend_nodes: list[TaxNode] = []   # one node per pending chunk
+        self._pend_n = 0
 
     def feed_file(self, path, mapped_node: TaxNode | None = None) -> None:
         with open_input(path) as stream:
@@ -223,27 +237,106 @@ class DBUpdater:
         kmers = extract_region_kmers(seq, opts)
         if len(kmers) == 0:
             return
+        self._pend_kmers.append(kmers)
+        self._pend_nodes.append(node)
+        self._pend_n += len(kmers)
+        if self._pend_n >= self.chunk_kmers:
+            self.flush()
+
+    def flush(self) -> None:
+        """Apply all pending regions' LCA updates in one bulk pass."""
+        if not self._pend_kmers:
+            return
+        kmers = np.concatenate(self._pend_kmers)
+        # region-node index per k-mer; node identity keyed by taxid
+        nodes: list[TaxNode] = []
+        node_idx_of: dict[str, int] = {}
+        ridx = np.empty(len(kmers), np.int32)
+        at = 0
+        for chunk, node in zip(self._pend_kmers, self._pend_nodes):
+            i = node_idx_of.get(node.tax_id)
+            if i is None:
+                i = node_idx_of[node.tax_id] = len(nodes)
+                nodes.append(node)
+            ridx[at:at + len(chunk)] = i
+            at += len(chunk)
+        self._pend_kmers, self._pend_nodes, self._pend_n = [], [], 0
+
         pos = self.table.find_np(kmers)
-        pos = pos[pos >= 0]
+        found = pos >= 0
+        pos, ridx = pos[found], ridx[found]
         if len(pos) == 0:
             return
-        cur_vi = self.table.value_idx[pos].astype(np.int64)
-        uniq_vi = np.unique(cur_vi)
-        remap = np.arange(self.table.n_values, dtype=np.int64)
-        changed_any = False
-        for vi in uniq_vi.tolist():
-            old_taxid = self.table.values[vi]
-            old_node = self.tree.get(old_taxid)
-            lca = self.tree.lca(old_node, node)
-            new_taxid = lca.tax_id if lca is not None else old_taxid
-            if new_taxid != old_taxid:
-                remap[vi] = self.table.get_add_value_index(new_taxid)
-                changed_any = True
-        if changed_any:
-            new_vi = remap[cur_vi]
-            moved = new_vi != cur_vi
-            self.kmers_moved += int(moved.sum())
-            self.table.set_value_idx_at(pos[moved], new_vi[moved])
+        # sort by (pos, node); drop repeated (pos, node) applications — a
+        # second LCA with the same node is a no-op
+        order = np.lexsort((ridx, pos))
+        pos_s, r_s = pos[order], ridx[order]
+        first = np.ones(len(pos_s), bool)
+        first[1:] = pos_s[1:] != pos_s[:-1]
+        keep = first.copy()
+        keep[1:] |= r_s[1:] != r_s[:-1]
+        pos_s, r_s, first = pos_s[keep], r_s[keep], first[keep]
+
+        # bulk path: the FIRST application per position, grouped by
+        # (current value index, node)
+        cur_vi = self.table.value_idx[pos_s].astype(np.int64)
+        single = first.copy()
+        # positions with >1 distinct node in this chunk take the fold path
+        multi_start = first & np.concatenate([~first[1:], [False]])
+        single &= ~multi_start
+        in_multi = np.zeros(len(pos_s), bool)
+        if multi_start.any():
+            grp = np.maximum.accumulate(np.where(first, np.arange(len(pos_s)), -1))
+            in_multi = multi_start[grp]
+            single &= ~in_multi
+
+        lca_cache: dict[tuple[int, int], int] = {}
+
+        def lca_vi(vi: int, node_i: int) -> int:
+            key = (vi, node_i)
+            r = lca_cache.get(key)
+            if r is None:
+                old_node = self.tree.get(self.table.values[vi])
+                lca = self.tree.lca(old_node, nodes[node_i])
+                r = (self.table.get_add_value_index(lca.tax_id)
+                     if lca is not None else vi)
+                lca_cache[key] = r
+            return r
+        new_pos: list[np.ndarray] = []
+        new_vis: list[np.ndarray] = []
+
+        if single.any():
+            sp_, sv, sr = pos_s[single], cur_vi[single], r_s[single]
+            pair = sv * len(nodes) + sr
+            uniq, inv = np.unique(pair, return_inverse=True)
+            pair_new = np.array(
+                [lca_vi(int(u) // len(nodes), int(u) % len(nodes))
+                 for u in uniq], np.int64)
+            nv = pair_new[inv]
+            ch = nv != sv
+            new_pos.append(sp_[ch])
+            new_vis.append(nv[ch])
+            self.kmers_moved += int(ch.sum())
+
+        if in_multi.any():
+            mp, mv, mr, mf = (pos_s[in_multi], cur_vi[in_multi],
+                              r_s[in_multi], first[in_multi])
+            starts = np.nonzero(mf)[0]
+            ends = np.concatenate([starts[1:], [len(mp)]])
+            for s0, e0 in zip(starts.tolist(), ends.tolist()):
+                v = int(mv[s0])
+                for j in range(s0, e0):
+                    nv_ = lca_vi(v, int(mr[j]))
+                    if nv_ != v:
+                        self.kmers_moved += 1
+                        v = nv_
+                if v != int(mv[s0]):
+                    new_pos.append(mp[s0:s0 + 1])
+                    new_vis.append(np.array([v], np.int64))
+
+        if new_pos:
+            self.table.set_value_idx_at(np.concatenate(new_pos),
+                                        np.concatenate(new_vis))
 
     def _rework_update(self, node: TaxNode, header: bytes, path) -> TaxNode:
         """ref: DBGoal reworkNode — only uses *existing* data/file/id children."""

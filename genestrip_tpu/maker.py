@@ -319,12 +319,14 @@ class GSMaker:
         p = self.project
         opts = self._build_opts(update=True)
         amap = accmap_goal.get() if p["refseq.filldb"] else None
-        updater = dbbuild.DBUpdater(tree, filled.table, tax_nodes, amap, opts)
+        updater = dbbuild.DBUpdater(tree, filled.table, tax_nodes, amap, opts,
+                                    chunk_kmers=p["dbBuildChunkKMers"])
         files, additional = self._db_input_files(categories, refseqfna, additional)
         for f in files:
             updater.feed_file(f)
         for f, node in additional.items():
             updater.feed_file(f, mapped_node=node)
+        updater.flush()
         log.info("KMers moved via update: %d", updater.kmers_moved)
         p.additional_properties[GENESTRIP_VERSION] = __version__
         p.additional_properties[GENESTRIP_TITLE] = "genestrip-tpu"
