@@ -19,11 +19,22 @@ Layering (bottom-up), mirroring the reference's layer map (SURVEY.md §1):
   parallel/— mesh sharding, psum merges, multi-host        (new, TPU-native)
 """
 
+import os
+
 import jax
 
 # The k-mer key space is 2k bits (k <= 31 => up to 62 bits). Host code uses
 # uint64 freely; device code prefers uint32 hi/lo pairs (TPU-native), but u64
 # support must be on for the places where a single wide key is simplest.
 jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: the match/filter graphs are large and the
+# TPU compiler round-trip is expensive; caching makes every run after the
+# first start instantly (safe to share — keyed by HLO + compiler version).
+_cache_dir = os.environ.get("GENESTRIP_TPU_COMPILE_CACHE",
+                            os.path.expanduser("~/.cache/genestrip_tpu_xla"))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 __version__ = "0.1.0"

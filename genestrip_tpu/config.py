@@ -139,7 +139,7 @@ _KEYS = [
     Key("fastaLineSizeBytes", "int", 4096, 1),
     Key("krakenBin", "str", "krakenuniq"),
     Key("krakenExecExpr", "str", "{0} -db {1} {2}"),
-    Key("krakenDB", "str", ""),
+    Key("krakenDB", "str", "krakenuniq"),  # ref GSConfigKey.java:395
     # TPU-specific keys (new in this implementation)
     Key("matchBatchSize", "int", 8192, 1),
     Key("dbBuildChunkKMers", "int", 1 << 24, 1 << 16),

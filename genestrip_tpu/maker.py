@@ -239,7 +239,7 @@ class GSMaker:
         krakencount = reg(ObjectGoal(
             p, "krakencount", deps=[fastqmap, taxnodes],
             func=lambda: self._kraken_count(fastqmap.get(), taxnodes.get())))
-        reg(_KrakenResGoal(p, krakencount))
+        reg(_KrakenResGoal(p, krakencount, fastqmap))
 
         # ---- refseq extraction (ref: GSMaker.java:302-307) ----
         extractrefseqfasta = reg(ObjectGoal(
@@ -416,7 +416,7 @@ class GSMaker:
         from genestrip_tpu.kraken import KrakenExecutor, count_kraken_results
         p = self.project
         executor = KrakenExecutor(p["krakenBin"], p["krakenExecExpr"])
-        taxids = {n.taxid for n in tax_nodes} if tax_nodes else None
+        taxids = {n.tax_id for n in tax_nodes} if tax_nodes else None
         out = {}
         for key, resources in fastq_map.items():
             files = []
@@ -1001,6 +1001,7 @@ class _MatchResGoal(ObjectGoal):
             matcher.with_probs = p["withProbs"]
             matcher.progress = p["progressBar"]
             matcher.progress_interval_ms = p["progressBarUpdateMs"]
+            matcher.threads = p["threads"]
             gz = p["gzipFastqOutput"]
             filtered = kraken = None
             try:
@@ -1054,15 +1055,20 @@ class _KrakenResGoal(FileGoal):
     """Writes per-taxid kraken stats CSV per key
     (ref: goals/kraken/KrakenResFileGoal.java:70-107)."""
 
-    def __init__(self, project, krakencount):
+    def __init__(self, project, krakencount, fastqmap):
         super().__init__(project, "krakenres", None, [krakencount])
         self.krakencount = krakencount
+        self.fastqmap = fastqmap
 
     @property
     def files(self):
+        # Output keys come from fastqmap (cheap), NOT from krakencount.get()
+        # — that would execute the external kraken binary just to answer
+        # is_made() and defeat FileGoal memoization
+        # (ref: KrakenResFileGoal.provideFiles enumerates fastqMapGoal keys).
         self._files = [
             self.project.output_file(self.name, "kraken_out_res", key=key)
-            for key in self.krakencount.get().keys()]
+            for key in self.fastqmap.get().keys()]
         return self._files
 
     def is_made(self):

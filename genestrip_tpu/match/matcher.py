@@ -12,7 +12,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from genestrip_tpu.io.reads import BatchPacker, ReadBatch, parse_reads
+from genestrip_tpu.io.reads import (
+    BatchPacker, ReadBatch, batch_feeder, parse_reads,
+)
 from genestrip_tpu.io.streams import Progress, StreamingResource
 from genestrip_tpu.match.pipeline import (
     LABEL_INVALID, LABEL_MISS, MatchConfig, match_step,
@@ -50,6 +52,12 @@ class Matcher:
         # ref GSConfigKey withProbs: carry input quality strings through to
         # filtered-fastq output instead of synthesizing '~'
         self.with_probs = False
+        # ref GSConfigKey threads (ConfigParams.md:4): the reference's
+        # consumer-thread count. Here it gates the async input pipeline —
+        # 0 = parse synchronously; otherwise parse/pack runs on a worker
+        # thread with a bounded prefetch queue overlapping the device steps
+        # (-1 = default on, like the reference's "#processors - 1").
+        self.threads = -1
         # Long-read handling (SURVEY.md §5.7): reads longer than this many
         # bases are cut into singleton batches; with classification off
         # (matchlr, ref Goals.md:15) they are matched in fixed-size window
@@ -126,7 +134,10 @@ class Matcher:
                 progress = Progress(f"match {res.name}", res,
                                     enabled=self.progress,
                                     interval_ms=self.progress_interval_ms)
-                for batch in parse_reads(stream, packer, fasta):
+                gen = parse_reads(stream, packer, fasta)
+                if self.threads != 0:
+                    gen = batch_feeder(gen, prefetch=4)
+                for batch in gen:
                     if batch.is_long and not self.cfg.classify:
                         # chunked long-read path (host-merged stats); keep
                         # output order by finalizing the pending batch first

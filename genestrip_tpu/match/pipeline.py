@@ -59,7 +59,46 @@ import jax.numpy as jnp
 import numpy as np
 
 from genestrip_tpu.ops.kmer import window_kmers
-from genestrip_tpu.store.hash import BUCKET, build_hash, lookup_hash
+from genestrip_tpu.store.hash import (
+    BUCKET, build_hash, lookup_hash, lookup_join,
+)
+
+# flattened query count at or above which the scatter-join lookup beats the
+# two-gather path (the join's fixed costs — sorts, scratch, dense bucket
+# pass — amortize over the batch; measured crossover is far below this)
+_JOIN_MIN_Q = 1 << 16
+
+
+def _attach_aux(vaux, idx, n_planes: int):
+    """Gather-free small-table row attach: planes[c][q] = vaux[idx[q], c].
+
+    Replaces a [Q, 4] row-gather (~13 ms per 1M rows on this chip) with a
+    sort + V-sized scatter + run broadcast (~free): sort queries by idx,
+    scatter each distinct idx's first position into a V-sized scratch,
+    scatter the table values back to those positions, broadcast along
+    equal-idx runs, unsort. Exact for any idx in [0, V).
+    """
+    Q = idx.shape[0]
+    V = vaux.shape[0]
+    qid = jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0).reshape(-1)
+    s_i, s_q = jax.lax.sort((idx, qid), num_keys=1)
+    pos = qid                      # iota again (same shape)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_i[:-1]])
+    new = s_i != prev
+    first_pos = jnp.full(V + 1, Q, jnp.int32).at[
+        jnp.where(new, s_i, V)].set(pos)
+    run_id = jnp.where(new, pos, -1)
+
+    def comb(a, b):
+        keep = b[0] >= 0
+        return (jnp.where(keep, b[0], a[0]), jnp.where(keep, b[1], a[1]))
+
+    planes = []
+    for c in range(n_planes):
+        r = jnp.zeros(Q + 1, jnp.int32).at[first_pos[:V]].set(vaux[:V, c])
+        vals = jax.lax.associative_scan(comb, (run_id, r[:Q]))[1]
+        planes.append(jnp.zeros(Q, jnp.int32).at[s_q].set(vals))
+    return planes
 
 LABEL_MISS = -1
 LABEL_INVALID = -2
@@ -147,18 +186,21 @@ def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
     hi, lo, clean, exists = window_kmers(codes, lengths, k)
     W = L - k + 1
 
-    pos, found_win, vidx = lookup_hash(rows, hi, lo, nb_bits=spec.nb_bits)
+    lk = lookup_join if B * W >= _JOIN_MIN_Q else lookup_hash
+    pos, found_win, vidx = lk(rows, hi, lo, nb_bits=spec.nb_bits)
     valid = clean & exists
     hit0 = valid & found_win
     nv = vaux.shape[0] - 1
-    # flat [Q, 4] row-gather from the small value table (3-D gather outputs
-    # trigger a padded-layout slow path on TPU)
-    aux = vaux[jnp.where(hit0, vidx, nv).reshape(-1)]
-    node = jnp.where(hit0, aux[:, 0].reshape(B, W), -1)
+    # attach (node, tout, depth) from the small value table without a
+    # per-window gather (see _attach_aux); depth is only consumed by the
+    # threshold-promotion path
+    n_planes = 3 if (cfg.classify and cfg.threshold > 1) else 2
+    aux = _attach_aux(vaux, jnp.where(hit0, vidx, nv).reshape(-1), n_planes)
+    node = jnp.where(hit0, aux[0].reshape(B, W), -1)
     hit = hit0 & (node >= 0)
-    # tout/depth of the window's node, from the small value-indexed table
-    tout_lab = jnp.where(hit, aux[:, 1].reshape(B, W), 0)
-    depth_lab = jnp.where(hit, aux[:, 2].reshape(B, W), anc.shape[1])
+    tout_lab = jnp.where(hit, aux[1].reshape(B, W), 0)
+    depth_lab = (jnp.where(hit, aux[2].reshape(B, W), anc.shape[1])
+                 if n_planes > 2 else jnp.full((B, W), anc.shape[1], jnp.int32))
     label = jnp.where(exists,
                       jnp.where(clean, jnp.where(hit, node, LABEL_MISS), LABEL_INVALID),
                       LABEL_NONE)
@@ -284,43 +326,41 @@ def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
         run_first = jnp.take_along_axis(s_first, rs_idx, axis=1)
     cand_mask = run_end_m & ~non_max
     # first-occurrence-order cap to max_paths (ref mergeReadTaxidPath): sort
-    # candidates by (first window, node)
-    Tp = 1 << max(int(np.ceil(np.log2(T + 1))), 1)
-    if W * Tp < 2**31:
-        comp2 = jnp.where(cand_mask, run_first * Tp + s_node, BIG)
-        cand_sorted = jnp.sort(comp2, axis=1)[:, : cfg.max_paths]
-        cand = jnp.where(cand_sorted != BIG, cand_sorted & (Tp - 1), -1)
-    else:
-        c1, c2 = jax.lax.sort(
-            (jnp.where(cand_mask, run_first, BIG),
-             jnp.where(cand_mask, s_node, BIG)), dimension=1, num_keys=2)
-        cand = jnp.where(c1[:, : cfg.max_paths] != BIG,
-                         c2[:, : cfg.max_paths], -1)
+    # candidates by (first window, node); the run-end sorted-row position e
+    # rides along — it IS the label rank query (#(label <= cand) = e + 1),
+    # so no binary search is needed for cnt_label.
+    c1, c2, c3 = jax.lax.sort(
+        (jnp.where(cand_mask, run_first, BIG),
+         jnp.where(cand_mask, s_node, BIG),
+         s_idx), dimension=1, num_keys=2)
+    cand = jnp.where(c1[:, : cfg.max_paths] != BIG, c2[:, : cfg.max_paths], -1)
+    cnt_label = jnp.where(cand >= 0, c3[:, : cfg.max_paths] + 1, 0)
 
     # ---- path sums (ref sumCounts): hits whose node is ancestor-or-eq ------
     # A hit window with node a contributes to candidate c iff a <= c < tout(a)
-    # (pre-order/Euler containment). Counting over the row-sorted arrays:
-    #   sum(c) = #(label <= c) - #(tout <= c)
-    # because tout(a) <= c implies a < tout(a) <= c. Two rank queries per
-    # candidate (binary search, log2(W) take_along_axis steps on [B, P])
-    # replace the former [B, P, W] broadcast.
-    sorted_tout = jax.lax.sort(jnp.where(hit, tout_lab, BIG), dimension=1)
-    cand_safe = jnp.where(cand >= 0, cand, -1)
-
-    def upper_bound(sorted_row, vals):
-        lo_b = jnp.zeros_like(vals)
-        hi_b = jnp.full_like(vals, W)
-        for _ in range(max(int(np.ceil(np.log2(W + 1))), 1)):
-            mid = (lo_b + hi_b) >> 1
-            v = jnp.take_along_axis(sorted_row, jnp.minimum(mid, W - 1), axis=1)
-            upd = lo_b < hi_b
-            go = v <= vals
-            lo_b = jnp.where(upd & go, mid + 1, lo_b)
-            hi_b = jnp.where(upd & ~go, mid, hi_b)
-        return lo_b
-
-    cnt_label = upper_bound(s_key, cand_safe)
-    cnt_tout = upper_bound(sorted_tout, cand_safe)
+    # (pre-order/Euler containment), so
+    #   sum(c) = #(label <= c) - #(tout(label) <= c).
+    # #(label <= c) fell out of the candidate sort above. #(tout <= c) comes
+    # from ONE merged row-sort of the window touts and the candidates
+    # (encoded 2*tout vs 2*cand+1 so equal values order tout-first): at a
+    # candidate's merged position, the number of non-candidate entries before
+    # it is exactly its tout rank. No gathers — sorts and scans only.
+    P = cfg.max_paths
+    m_key = jnp.concatenate(
+        [jnp.where(hit, tout_lab * 2, BIG),
+         jnp.where(cand >= 0, cand * 2 + 1, BIG - 1)], axis=1)
+    m_pay = jnp.concatenate(
+        [jnp.full((B, W), -1, jnp.int32),
+         jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)], axis=1)
+    mk, mp = jax.lax.sort((m_key, m_pay), dimension=1, num_keys=1)
+    is_c = mp >= 0
+    cs = jnp.cumsum(is_c.astype(jnp.int32), axis=1)
+    mpos = jax.lax.broadcasted_iota(jnp.int32, (B, W + P), 1)
+    rank_t = mpos - (cs - 1)           # touts before this candidate entry
+    row_off = jax.lax.broadcasted_iota(jnp.int32, (B, W + P), 0) * P
+    tgt_c = jnp.where(is_c, row_off + mp, B * P).reshape(-1)
+    cnt_tout = jnp.zeros(B * P + 1, jnp.int32).at[tgt_c].set(
+        rank_t.reshape(-1))[: B * P].reshape(B, P)
     sums = jnp.where(cand >= 0, cnt_label - cnt_tout, 0)
 
     best = jnp.max(sums, axis=1)
@@ -363,15 +403,23 @@ def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
         tout_sn = s_tout[:, None, :]
         c_e2 = cand[:, :, None]
         anc_ok = (sn_e >= 0) & (c_e2 >= 0) & (sn_e <= c_e2) & (c_e2 < tout_sn)
-        weighted = jnp.where(anc_ok, run_cnt[:, None, :], 0).astype(jnp.float32)
         d_lab = jnp.where(run_end_m & (s_node >= 0), s_depth, D)
-        onehot = (d_lab[:, :, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (B, W, D), 2)).astype(jnp.float32)
-        # hist[b,p,d] = hit windows on candidate p's root path at depth d
-        hist = jnp.einsum("bpw,bwd->bpd", weighted, onehot,
-                          preferred_element_type=jnp.float32)
+        # hist[b,p,d] = hit windows on candidate p's root path at depth d —
+        # an integer scatter-add over [B, P, W] run contributions (the former
+        # [B, W, D] one-hot einsum materialized B*W*D floats and OOMed at
+        # bench shapes)
+        bp_off = (jax.lax.broadcasted_iota(jnp.int32, (B, cfg.max_paths, W), 0)
+                  * cfg.max_paths
+                  + jax.lax.broadcasted_iota(jnp.int32, (B, cfg.max_paths, W), 1))
+        tgt_h = jnp.where(anc_ok & (d_lab[:, None, :] < D),
+                          bp_off * D + d_lab[:, None, :],
+                          B * cfg.max_paths * D).reshape(-1)
+        hist = jnp.zeros(B * cfg.max_paths * D + 1, jnp.int32).at[tgt_h].add(
+            jnp.broadcast_to(run_cnt[:, None, :],
+                             (B, cfg.max_paths, W)).reshape(-1))[
+            : B * cfg.max_paths * D].reshape(B, cfg.max_paths, D)
         # suffix[b,p,j] = running sum of the walk candidate -> depth-j ancestor
-        suffix = jnp.cumsum(hist[:, :, ::-1], axis=2)[:, :, ::-1].astype(jnp.int32)
+        suffix = jnp.cumsum(hist[:, :, ::-1], axis=2)[:, :, ::-1]
         suffix_pad = jnp.concatenate(
             [suffix, jnp.zeros((B, cfg.max_paths, 1), jnp.int32)], axis=2)
         # deepest ancestor where the running sum reaches the threshold
@@ -387,14 +435,18 @@ def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
     else:
         fold_nodes = cand
 
-    acc = jnp.full((B,), -1, jnp.int32)
-    any_null = jnp.zeros((B,), bool)
-    for p in range(cfg.max_paths):
-        sel = is_best[:, p]
-        cp = fold_nodes[:, p]
-        any_null = any_null | (sel & (cp < 0))
-        pair = _lca_pair(anc, jnp.maximum(acc, 0), jnp.maximum(cp, 0))
-        acc = jnp.where(sel & (cp >= 0), jnp.where(acc < 0, cp, pair), acc)
+    # LCA of the selected set in ONE pair-LCA: with pre-order indices and
+    # Euler intervals, LCA(set) = LCA(min, max) — the interval of LCA(min,
+    # max) contains every index in [min, max], and any common ancestor of
+    # the set is an ancestor of both extremes. Replaces the former
+    # max_paths-step sequential fold (2 ancestor-row gathers per step).
+    sel_nodes = jnp.where(is_best & (fold_nodes >= 0), fold_nodes, BIG)
+    mn = jnp.min(sel_nodes, axis=1)
+    mx = jnp.max(jnp.where(is_best & (fold_nodes >= 0), fold_nodes, -1), axis=1)
+    any_null = jnp.any(is_best & (fold_nodes < 0), axis=1)
+    pair = _lca_pair(anc, jnp.maximum(jnp.where(mn == BIG, 0, mn), 0),
+                     jnp.maximum(mx, 0))
+    acc = jnp.where(mx >= 0, jnp.where(mn == mx, mx, pair), -1)
 
     classified = found & ~tax_failed & has_cand & ~any_null
     class_node = jnp.where(classified, acc, -1)

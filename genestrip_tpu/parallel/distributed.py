@@ -1,0 +1,80 @@
+"""Multi-host execution backend (SPMD over processes).
+
+Reference equivalent: the reference is single-JVM — its "backend" is a
+thread pool + blocking queue (ref: ExecutionContext.java:31-55,
+DefaultExecutionContext.java, SimpleBlockingQueue.java). The TPU-native
+replacement is process-level data parallelism over `jax.distributed`:
+
+* each host process owns its local chip mesh (`jax.local_devices()`) and an
+  interleaved shard of the input resources (fastq files) — file-level data
+  parallelism, embarrassingly parallel like the reference's per-file reader
+  fan-out (ref: goals/refseq/FastaReaderGoal.java:101-160);
+* per-tax-id statistic vectors and the unique-k-mer seen/count vectors are
+  merged across processes at aggregation time (sum / OR / first-achiever
+  tie-break keyed by global resource order, so the merged result is
+  bit-identical to a single-host run over all files);
+* per-read outputs (kraken-style, filtered fastq) stay host-local — each
+  process writes the lines of its own resources.
+
+Launch: on TPU pods `jax.distributed.initialize()` auto-detects; elsewhere
+set JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID (or their
+GENESTRIP_* equivalents). `maybe_initialize()` is a no-op single-process.
+"""
+
+from __future__ import annotations
+
+import os
+
+_initialized = False
+
+
+def maybe_initialize() -> None:
+    """jax.distributed.initialize() when a multi-process launch is detected.
+
+    Triggers: GENESTRIP_MULTIHOST=1 (TPU-pod auto-detection) or an explicit
+    coordinator address in the environment. Safe to call more than once.
+    """
+    global _initialized
+    if _initialized:
+        return
+    coord = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+             or os.environ.get("GENESTRIP_COORDINATOR"))
+    auto = os.environ.get("GENESTRIP_MULTIHOST") == "1"
+    if not (coord or auto):
+        return
+    import jax
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES")
+                              or os.environ.get("GENESTRIP_NUM_PROCESSES")),
+            process_id=int(os.environ.get("JAX_PROCESS_ID")
+                           or os.environ.get("GENESTRIP_PROCESS_ID")),
+        )
+    else:
+        jax.distributed.initialize()
+    _initialized = True
+
+
+def process_index() -> int:
+    import jax
+    return jax.process_index()
+
+
+def process_count() -> int:
+    import jax
+    return jax.process_count()
+
+
+def allgather_stats(tree):
+    """All-gather a pytree of host numpy arrays across processes.
+
+    Returns the pytree with a leading process axis on every leaf (process 0
+    first). Single-process: the same arrays with a length-1 leading axis.
+    """
+    import numpy as np
+    import jax
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda a: np.asarray(a)[None], tree)
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(tree)

@@ -150,20 +150,27 @@ def build_hash(keys: np.ndarray, value_idx: np.ndarray) -> KmerHashTable:
 
 
 def _place(b1, b2, nb):
-    """Two-choice placement; returns (bucket, lane, choice) or None."""
+    """Two-choice cuckoo placement with eviction; (bucket, lane, choice) or None.
+
+    Phase 1: two vectorized greedy rounds (everyone tries b1, losers try b2)
+    — places ~all keys at load <= 0.5. Phase 2: vectorized random-walk
+    eviction for the stragglers (one actor per bucket per round; a full
+    bucket evicts a random victim, which re-joins the pending set with its
+    other choice). Load 0.5 on 4-slot two-choice buckets is far below the
+    cuckoo capacity bound, so the walk terminates in a handful of rounds."""
     n = len(b1)
     bucket_of = np.full(n, -1, np.int64)
     lane_of = np.full(n, -1, np.int32)
     choice_of = np.zeros(n, np.uint32)
     fill = np.zeros(nb, np.int32)
+    slot_key = np.full(nb * BUCKET, -1, np.int64)
 
     pending = np.arange(n)
     cur = b1.copy()
     alt = b2.copy()
     cur_c = np.zeros(n, np.uint32)
-    for _ in range(64):
-        if len(pending) == 0:
-            return bucket_of, lane_of, choice_of
+
+    def greedy_round(pending):
         want = cur[pending]
         order = np.argsort(want, kind="stable")
         w_sorted = want[order]
@@ -179,20 +186,249 @@ def _place(b1, b2, nb):
         bucket_of[win] = w_sorted[ok]
         lane_of[win] = lane[ok].astype(np.int32)
         choice_of[win] = cur_c[win]
+        slot_key[w_sorted[ok] * BUCKET + lane[ok]] = win
         np.add.at(fill, w_sorted[ok], 1)
-        pending = idx[~ok]
-        # losers switch to their other choice, preferring the emptier one
-        cur[pending], alt[pending] = alt[pending].copy(), cur[pending].copy()
-        cur_c[pending] ^= np.uint32(1)
-        sw = fill[cur[pending]] > fill[alt[pending]]
-        swp = pending[sw]
-        cur[swp], alt[swp] = alt[swp].copy(), cur[swp].copy()
-        cur_c[swp] ^= np.uint32(1)
+        return idx[~ok]
+
+    def swap_to_alt(keys):
+        c = cur[keys].copy()
+        cur[keys] = alt[keys]
+        alt[keys] = c
+        cur_c[keys] ^= np.uint32(1)
+
+    for _ in range(2):
+        if len(pending) == 0:
+            return bucket_of, lane_of, choice_of
+        pending = greedy_round(pending)
+        swap_to_alt(pending)
+
+    rng = np.random.default_rng(0x9E3779B1)
+    for _ in range(2000):
+        if len(pending) == 0:
+            return bucket_of, lane_of, choice_of
+        want = cur[pending]
+        order = np.argsort(want, kind="stable")
+        w_sorted = want[order]
+        first = np.ones(len(order), bool)
+        first[1:] = w_sorted[1:] != w_sorted[:-1]
+        idx = pending[order]
+        act, wb = idx[first], w_sorted[first]     # one actor per bucket
+        waiters = idx[~first]
+        free = fill[wb] < BUCKET
+        fa, fb = act[free], wb[free]
+        lane = fill[fb]
+        bucket_of[fa] = fb
+        lane_of[fa] = lane.astype(np.int32)
+        choice_of[fa] = cur_c[fa]
+        slot_key[fb * BUCKET + lane] = fa
+        fill[fb] += 1
+        ea, eb = act[~free], wb[~free]
+        lane = rng.integers(0, BUCKET, len(ea))
+        victim = slot_key[eb * BUCKET + lane]
+        bucket_of[ea] = eb
+        lane_of[ea] = lane.astype(np.int32)
+        choice_of[ea] = cur_c[ea]
+        slot_key[eb * BUCKET + lane] = ea
+        # victim re-joins pending, targeting its other bucket
+        bucket_of[victim] = -1
+        v_other_is_b2 = b1[victim] == eb
+        cur[victim] = np.where(v_other_is_b2, b2[victim], b1[victim])
+        alt[victim] = eb
+        cur_c[victim] = v_other_is_b2.astype(np.uint32)
+        pending = np.concatenate([waiters, victim])
     return None
 
 
 # ---------------------------------------------------------------------------
-# device lookup
+# device lookup — scatter-join (the fast path)
+# ---------------------------------------------------------------------------
+#
+# XLA row-gathers from HBM cost ~13 ns/row on this chip regardless of table
+# size (measured, scripts/probe_hot.py), so the two-gather lookup below runs
+# ~26 ms per 1M queries. The scatter-join inverts the access pattern: instead
+# of bringing table rows to the queries (random gathers), it delivers the
+# queries TO the table's bucket space with sorts + scatters (both ~free on
+# TPU: 1M x 4 i32 sort = 0.1 ms measured) and resolves all of them in ONE
+# dense elementwise pass over the bucket table. Measured 0.105 ms per 1M
+# queries against a 16M-key table (scripts/probe_r4c_join.py) — ~250x the
+# gather path, with bit-exact results.
+#
+# Per call (Q queries, 2 entries each — one per cuckoo bucket choice):
+#   1. entries (bucket, h2, want=rem2<<1|choice, qid) sorted by (bucket, key).
+#   2. distinct keys get rank lanes r < R in a [NB, R] scratch via scatter;
+#      equal-key duplicates share their run-first's lane.
+#   3. dense pass over [NB, R] scratch vs the 4 slots of rows[NB, 8]:
+#      exact compare (h2 + quotient + choice) -> (found, vidx, slot).
+#   4. results scatter back to entry positions, broadcast along equal-key
+#      runs (associative scan), and combine per query by qid scatter.
+#   5. a query is RESOLVED iff some entry found it, or both entries held
+#      lanes (then a miss is definitive). The handful of rank-overflow
+#      queries (~1e-4 at R=4) are re-looked-up exactly by the two-gather
+#      path on a compacted fixed-size slice; a lax.cond falls back to a
+#      full two-gather pass in the (astronomically unlikely) case the
+#      slice capacity is exceeded — exactness is unconditional.
+
+def _entry_count_bits(e: int) -> int:
+    return max(int(np.ceil(np.log2(e + 2))), 1)
+
+
+def lookup_join(rows, q_hi, q_lo, *, nb_bits: int, r_lanes: int = 0,
+                fallback_cap: int = 8192):
+    """Exact scatter-join hash lookup on device; contract == lookup_hash.
+
+    rows: [NB, 8] int32; q_hi/q_lo: uint32 query halves, any shape.
+    Returns (slot int32 [n_slots where miss], found bool, vidx int32 [-1
+    where miss]).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    shape = q_hi.shape
+    q_hi = q_hi.reshape(-1)
+    q_lo = q_lo.reshape(-1)
+    Q = q_hi.shape[0]
+    E = 2 * Q
+    nb = 1 << nb_bits
+    vb = nb_bits - 1
+    if not r_lanes:
+        lam = E / nb
+        r_lanes = 4 if lam <= 0.5 else (6 if lam <= 1.0 else 8)
+    R = r_lanes
+    FB = min(fallback_cap, Q)
+
+    def mix(x, c):
+        x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(c)
+        x = (x ^ (x >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
+        return x ^ (x >> jnp.uint32(16))
+
+    h2 = q_hi ^ mix(q_lo, 0x85EBCA6B)
+    l2 = q_lo ^ mix(h2, 0x9E3779B1)
+    mask = jnp.uint32(nb - 1)
+    empty = jnp.int32((1 << vb) - 1)
+    b1 = (l2 & mask).astype(jnp.int32)
+    rem2 = l2 >> jnp.uint32(nb_bits)
+    g = (h2 * jnp.uint32(0x27D4EB2F)) ^ (rem2 * jnp.uint32(0x165667B1))
+    g = ((g ^ (g >> jnp.uint32(15))) & mask) | jnp.uint32(1)
+    b2 = b1 ^ g.astype(jnp.int32)
+
+    want1 = (rem2 << jnp.uint32(1)).astype(jnp.int32)
+    e_b = jnp.concatenate([b1, b2])
+    e_h = jax.lax.bitcast_convert_type(jnp.concatenate([h2, h2]), jnp.int32)
+    e_w = jnp.concatenate([want1, want1 | 1])
+    qid = jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0).reshape(-1)
+    e_q = jnp.concatenate([qid, qid])
+
+    s_b, s_h, s_w, s_q = jax.lax.sort((e_b, e_h, e_w, e_q), num_keys=3)
+
+    pb = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_b[:-1]])
+    ph = jnp.concatenate([jnp.full((1,), 0, jnp.int32), s_h[:-1]])
+    pw = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_w[:-1]])
+    new_key = (s_b != pb) | (s_h != ph) | (s_w != pw)
+    new_bucket = s_b != pb
+    pos = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0).reshape(-1)
+    kidx = jnp.cumsum(new_key.astype(jnp.int32))
+    bstart_k = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(new_bucket, kidx, 0))
+    rank = kidx - bstart_k
+
+    lane_ok = new_key & (rank < R)
+    tgt = jnp.where(lane_ok, s_b * R + rank, nb * R)
+    # pack (want, pos) into one scratch plane when the bits fit: want has
+    # 33 - nb_bits significant bits, pos needs log2(E + 2)
+    wbits = 33 - nb_bits
+    pbits = _entry_count_bits(E)
+    packed = (wbits + pbits) <= 32
+    sc_h = jnp.zeros(nb * R + 1, jnp.int32).at[tgt].set(s_h)
+    if packed:
+        wp = (s_w << pbits) | pos
+        sc_wp = jnp.full(nb * R + 1, -1, jnp.int32).at[tgt].set(wp)
+        sw2 = jax.lax.bitcast_convert_type(
+            sc_wp[:-1].reshape(nb, R), jnp.uint32)
+        sw_probe = (sw2 >> jnp.uint32(pbits)).astype(jnp.int32)
+        sp2 = (sw2 & jnp.uint32((1 << pbits) - 1)).astype(jnp.int32)
+    else:
+        sc_w = jnp.full(nb * R + 1, -1, jnp.int32).at[tgt].set(s_w)
+        sc_p = jnp.zeros(nb * R + 1, jnp.int32).at[tgt].set(pos)
+        sw_probe = sc_w[:-1].reshape(nb, R)
+        sp2 = sc_p[:-1].reshape(nb, R)
+    sh2 = sc_h[:-1].reshape(nb, R)
+
+    # dense pass: [NB, R] scratch lanes vs the 4 slots of each row
+    fnd = jnp.zeros((nb, R), bool)
+    v = jnp.zeros((nb, R), jnp.int32)
+    lane = jnp.zeros((nb, R), jnp.int32)
+    for j in range(BUCKET):
+        kj = rows[:, j][:, None]
+        pj = jax.lax.bitcast_convert_type(rows[:, BUCKET + j], jnp.uint32)[:, None]
+        vj = (pj & jnp.uint32(empty)).astype(jnp.int32)
+        eqj = ((kj == sh2)
+               & ((pj >> jnp.uint32(vb)).astype(jnp.int32) == sw_probe)
+               & (vj != empty))
+        first = eqj & ~fnd
+        v = jnp.where(first, vj, v)
+        lane = jnp.where(first, j, lane)
+        fnd = fnd | eqj
+    slot = jax.lax.broadcasted_iota(jnp.int32, (nb, R), 0) * BUCKET + lane
+
+    # scatter back to entry space
+    f_flat = fnd.reshape(-1)
+    p_flat = jnp.where(f_flat, sp2.reshape(-1), E)
+    r_v = jnp.full(E + 1, -1, jnp.int32).at[p_flat].set(v.reshape(-1))
+    r_s = jnp.full(E + 1, -1, jnp.int32).at[p_flat].set(slot.reshape(-1))
+    r_ok = jnp.zeros(E + 1, jnp.int32).at[
+        jnp.where(lane_ok, pos, E)].set(1)
+    rv, rs, rok = r_v[:E], r_s[:E], r_ok[:E]
+
+    # broadcast along equal-key runs (run-first holds the result)
+    run_id = jnp.where(new_key, pos, -1)
+
+    def seg_copy(vals):
+        def comb(a, b):
+            keep = b[0] >= 0
+            return (jnp.where(keep, b[0], a[0]), jnp.where(keep, b[1], a[1]))
+        return jax.lax.associative_scan(comb, (run_id, vals))[1]
+
+    rv_b = seg_copy(rv)
+    rs_b = seg_copy(rs)
+    rok_b = seg_copy(rok)
+
+    # combine per query: at most one of a query's two entries can be found
+    env = jnp.zeros(Q, jnp.int32).at[s_q].max(
+        jnp.where(rv_b >= 0, rv_b + 1, 0))
+    slot_q = jnp.full(Q, -1, jnp.int32).at[s_q].max(rs_b)
+    n_lanes = jnp.zeros(Q, jnp.int32).at[s_q].add(rok_b)
+    found = env > 0
+    vidx = jnp.where(found, env - 1, -1)
+    resolved = found | (n_lanes == 2)
+
+    # fallback: compact unresolved to the front (stable), two-gather them
+    n_unres = jnp.sum((~resolved).astype(jnp.int32))
+    sk, sq2 = jax.lax.sort((resolved.astype(jnp.int32), qid), num_keys=1)
+    fb_idx = sq2[:FB]
+
+    def fb_partial(args):
+        found, vidx, slot_q = args
+        s_fb, f_fb, v_fb = lookup_hash(rows, q_hi[fb_idx], q_lo[fb_idx],
+                                       nb_bits=nb_bits)
+        # overwrite the slice (resolved entries in it get identical values)
+        found = found.at[fb_idx].set(f_fb)
+        vidx = vidx.at[fb_idx].set(v_fb)
+        slot_q = slot_q.at[fb_idx].set(jnp.where(f_fb, s_fb, -1))
+        return found, vidx, slot_q
+
+    def fb_full(args):
+        s_all, f_all, v_all = lookup_hash(rows, q_hi, q_lo, nb_bits=nb_bits)
+        return f_all, v_all, jnp.where(f_all, s_all, -1)
+
+    found, vidx, slot_q = jax.lax.cond(
+        n_unres <= FB, fb_partial, fb_full, (found, vidx, slot_q))
+
+    slot_out = jnp.where(found, slot_q, nb * BUCKET)
+    return (slot_out.reshape(shape), found.reshape(shape), vidx.reshape(shape))
+
+
+# ---------------------------------------------------------------------------
+# device lookup — two-gather (fallback + small-Q path)
 # ---------------------------------------------------------------------------
 
 def lookup_hash(rows, q_hi, q_lo, *, nb_bits: int):

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 
 from genestrip_tpu.ops.kmer import split_u64
 from genestrip_tpu.store.hash import (
-    BUCKET, build_hash, lookup_hash, max_values_for,
+    BUCKET, build_hash, lookup_hash, lookup_join, max_values_for,
 )
 
 
@@ -99,3 +99,67 @@ def test_empty_and_tiny_tables():
 def test_value_capacity_scales_with_table():
     assert max_values_for(100) == (1 << 16) - 1
     assert max_values_for(40_000_000) > 1 << 20
+
+
+# ---------------------------------------------------------------------------
+# scatter-join lookup (the fast path): parity against the two-gather lookup
+# ---------------------------------------------------------------------------
+
+def _lookup_join(ht, q, **kw):
+    q_hi, q_lo = split_u64(q)
+    slot, found, vidx = lookup_join(
+        jnp.asarray(ht.rows), jnp.asarray(q_hi), jnp.asarray(q_lo),
+        nb_bits=ht.nb_bits, **kw)
+    return np.asarray(slot), np.asarray(found), np.asarray(vidx)
+
+
+def _assert_join_matches_gather(ht, q, **kw):
+    s1, f1, v1 = _lookup(ht, q)
+    s2, f2, v2 = _lookup_join(ht, q, **kw)
+    np.testing.assert_array_equal(f2, f1)
+    np.testing.assert_array_equal(v2, v1)
+    np.testing.assert_array_equal(s2, s1)
+
+
+def test_join_parity_random():
+    keys, vidx = _world(200_000, seed=11)
+    ht = build_hash(keys, vidx)
+    rng = np.random.default_rng(13)
+    q = np.concatenate([
+        keys[rng.integers(0, len(keys), 120_000)],
+        rng.integers(0, 1 << 62, 80_000, dtype=np.uint64),
+    ])
+    rng.shuffle(q)
+    _assert_join_matches_gather(ht, q)
+
+
+def test_join_parity_adversarial_dense_and_duplicates():
+    keys = np.arange(5_000_000, 5_200_000, dtype=np.uint64)
+    vidx = (keys % 997).astype(np.int64)
+    ht = build_hash(keys, vidx)
+    # heavy duplication (every query appears ~8x) + dense near-collisions
+    q = np.tile(np.arange(4_990_000, 5_010_000, dtype=np.uint64), 8)
+    _assert_join_matches_gather(ht, q)
+
+
+def test_join_fallback_paths():
+    keys, vidx = _world(100_000, seed=17)
+    ht = build_hash(keys, vidx)
+    rng = np.random.default_rng(19)
+    q = np.concatenate([
+        keys[rng.integers(0, len(keys), 50_000)],
+        rng.integers(0, 1 << 62, 50_000, dtype=np.uint64),
+    ])
+    # r_lanes=1 forces mass rank-overflow -> exercises the compacted
+    # fallback; fallback_cap tiny on top forces the full-gather cond branch
+    _assert_join_matches_gather(ht, q, r_lanes=1)
+    _assert_join_matches_gather(ht, q, r_lanes=1, fallback_cap=64)
+
+
+def test_join_2d_shape_and_tiny_table():
+    ht = build_hash(np.array([5, 77], np.uint64), np.array([1, 0], np.int64))
+    q = np.arange(0, 4096, dtype=np.uint64).reshape(64, 64)
+    s, f, v = _lookup_join(ht, q)
+    assert f.shape == (64, 64)
+    assert f.sum() == 2
+    assert v[0, 5] == 1 and v[1, 13] == 0

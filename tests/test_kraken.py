@@ -103,3 +103,41 @@ def test_noop_config_key_warns(caplog):
     with caplog.at_level(logging.WARNING, logger="genestrip"):
         Config({"useRadixStore": "true"})
     assert any("no effect" in r.message for r in caplog.records)
+
+
+def test_krakencount_goal_through_maker(tmp_path):
+    """Regression: _kraken_count must use TaxNode.tax_id (not .taxid), and
+    _KrakenResGoal.is_made must not execute the kraken binary (memoization,
+    ref: KrakenResFileGoal.provideFiles derives files from fastqMapGoal)."""
+    from fixtures import make_dengue_world
+    from genestrip_tpu.maker import GSMaker
+
+    project, g1, g2, reads = make_dengue_world(tmp_path)
+    out_file = tmp_path / "canned.out"
+    out_file.write_bytes(KRAKEN_OUT)
+    calls = tmp_path / "calls.txt"
+    fake = tmp_path / "fakekraken"
+    fake.write_text(f"#!/bin/sh\necho run >> {calls}\ncat {out_file}\n")
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    project.config.layers[0]["krakenBin"] = str(fake)
+
+    fq = project.fastq_dir / "test.fastq"
+    m = GSMaker(project, fastq_args=[str(fq)], key="kc1")
+    # taxnodes is non-empty (taxids.txt has 12637 + descendants): this is the
+    # path that crashed with AttributeError on n.taxid
+    stats = m.goal("krakencount").get()
+    by_id = {s.taxid: s for s in stats["kc1"]}
+    # 11053 is a descendant of requested 12637 -> kept by the taxid filter
+    assert by_id["11053"].kmers == 85
+    assert calls.read_text().count("run") == 1
+
+    m.goal("krakenres").make()
+    res = project.output_file("krakenres", "kraken_out_res", key="kc1")
+    assert res.exists()
+    assert "11053;" in res.read_text()
+    n_runs = calls.read_text().count("run")
+
+    # a second make must be a no-op: files exist, binary NOT re-run
+    m2 = GSMaker(project, fastq_args=[str(fq)], key="kc1")
+    m2.goal("krakenres").make()
+    assert calls.read_text().count("run") == n_runs
