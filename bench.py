@@ -1,30 +1,40 @@
-"""Benchmark: read-classification throughput (reads/sec/chip) on the real
-device, over a synthetic database + read mix shaped like the reference's
-human_virus micro-benchmark (small curated DB, 150 bp reads, ~half of the
-reads classifiable).
+"""Benchmarks on the real device over a synthetic database + read mix shaped
+like the reference's human_virus micro-benchmark (small curated DB, 150 bp
+reads, ~half of the reads classifiable).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "reads/s/chip", "vs_baseline": N}
+Emits one JSON line per metric; the HEADLINE metric (device-pipeline
+classification reads/s/chip) is printed LAST:
 
-vs_baseline: the reference publishes no benchmark numbers (BASELINE.md) and
-cannot be run here (no JVM). The baseline constant below is a deliberately
-generous estimate of the reference's multithreaded CPU throughput on a
-modern desktop for small DBs (its hot loop is a per-k-mer binary search):
-250k reads/s. vs_baseline = measured / BASELINE_READS_PER_SEC.
+  1. k-mer lookup throughput (lookups/s) — the match hot op alone.
+  2. DB build wall-clock on a synthetic category (bases/s).
+  3. end-to-end reads/s from a gzip fastq on disk through the full Matcher
+     (parse + pack + device + aggregation). NOTE: on this axon-tunneled
+     chip, host->device transfer is orders of magnitude slower than a real
+     TPU host link, so this number is a lower bound dominated by the tunnel.
+  4. device-pipeline classification reads/s/chip (batches staged on device,
+     as a production input pipeline keeps them).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md) and cannot run
+here (no JVM). The constant below is a deliberately generous estimate of its
+multithreaded CPU throughput for small DBs (per-k-mer binary search hot
+loop): 250k reads/s. vs_baseline = measured / 250k.
 """
 
 import argparse
+import gzip
 import json
+import os
 import time
 
 import numpy as np
 
-
 BASELINE_READS_PER_SEC = 250_000.0
+BASELINE_LOOKUPS_PER_SEC = 250_000.0 * 120     # reads/s x windows/read
+BASELINE_DB_BASES_PER_SEC = 2_000_000.0        # "viral: minutes" README.md:129
 
 
 def build_world(n_genome_bp: int, n_taxa: int, seed: int = 7, k: int = 31):
-    from genestrip_tpu.ops.kmer import window_kmers_np, split_u64
+    from genestrip_tpu.ops.kmer import window_kmers_np
     from genestrip_tpu.store.table import TableBuilder
 
     rng = np.random.default_rng(seed)
@@ -32,7 +42,6 @@ def build_world(n_genome_bp: int, n_taxa: int, seed: int = 7, k: int = 31):
     kmers, valid = window_kmers_np(genome, k)
     kmers = kmers[valid]
     builder = TableBuilder(k)
-    # split the genome's k-mers across taxa in contiguous blocks
     bounds = np.linspace(0, len(kmers), n_taxa + 1).astype(np.int64)
     for t in range(n_taxa):
         builder.add(kmers[bounds[t]:bounds[t + 1]], str(1000 + t))
@@ -48,8 +57,7 @@ def build_world(n_genome_bp: int, n_taxa: int, seed: int = 7, k: int = 31):
     depth = np.zeros(n_nodes, np.int32)
     for i in range(1, n_nodes):
         depth[i] = depth[parent[i]] + 1
-    order = np.argsort(depth, kind="stable")  # ensure parents precede children
-    # renumber to pre-order-ish (parents before children suffices here)
+    order = np.argsort(depth, kind="stable")
     ren = np.empty(n_nodes, np.int64)
     ren[order] = np.arange(n_nodes)
     parent2 = np.full(n_nodes, -1, np.int32)
@@ -58,7 +66,6 @@ def build_world(n_genome_bp: int, n_taxa: int, seed: int = 7, k: int = 31):
             parent2[ren[i]] = ren[parent[i]]
     from genestrip_tpu.tax.small import SmallTaxTree
     taxids = [str(2000 + i) for i in range(n_nodes)]
-    # place the table's taxa at the leaf positions
     tree = SmallTaxTree(taxids, taxids, [-1] * n_nodes, parent2,
                         np.zeros(n_nodes, bool))
     node_of_value = np.array(
@@ -82,6 +89,15 @@ def make_reads(genome: np.ndarray, n_reads: int, read_len: int, hit_frac: float,
     return codes
 
 
+def emit(metric, value, unit, baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(float(value), 1),
+        "unit": unit,
+        "vs_baseline": round(float(value) / baseline, 2),
+    }), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--db-bp", type=int, default=16_000_000)
@@ -90,89 +106,190 @@ def main():
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--hit-frac", type=float, default=0.5)
+    ap.add_argument("--e2e-reads", type=int, default=512 * 1024)
+    ap.add_argument("--dbbuild-bp", type=int, default=32_000_000)
+    ap.add_argument("--skip-e2e", action="store_true")
+    ap.add_argument("--skip-dbbuild", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
-    from genestrip_tpu.match.pipeline import MatchConfig, TableSpec, match_step
+    from genestrip_tpu.io.reads import _bucket_len
+    from genestrip_tpu.match.pipeline import (
+        MatchConfig, TableSpec, build_match_arrays, match_step,
+    )
+    from genestrip_tpu.store.hash import lookup_join
 
     t0 = time.time()
     table, tree, nov, genome = build_world(args.db_bp, args.taxa)
+    tree.node_of_value = lambda tb: nov          # bench tree glue
     codes_all = make_reads(genome, args.reads, args.read_len, args.hit_frac)
     t_build = time.time() - t0
 
     k = table.k
-    node_plane = nov[table.value_idx.astype(np.int64)].astype(np.int32)
-    safe = np.maximum(node_plane, 0)
-    nv = table.n_values
-    vaux = np.zeros((nv + 1, 4), np.int32)
-    vaux[:nv, 0] = nov[:nv]
-    vaux[:nv, 1] = np.where(nov[:nv] >= 0, tree.tout[np.maximum(nov[:nv], 0)], 0)
-    vaux[:nv, 2] = np.where(nov[:nv] >= 0, tree.depth[np.maximum(nov[:nv], 0)], 0)
-    vaux[nv] = (-1, 0, 0, 0)
-    from genestrip_tpu.store.hash import build_hash
-    ht = build_hash(table.keys, table.value_idx.astype(np.int64))
-    spec = TableSpec(ht.n_slots, ht.nb_bits)
-    rows = jnp.asarray(ht.rows)
-    vaux_d = jnp.asarray(vaux)
-    anc = jnp.asarray(tree.ancestor_at_depth)
+    sa, spec = build_match_arrays(table, tree)
+    rows, vaux = sa["rows"], sa["vaux"]
+    anc = jnp.asarray(np.zeros((len(tree), 1), np.int32)
+                      if not hasattr(tree, "ancestor_at_depth")
+                      else tree.ancestor_at_depth)
     n_nodes = len(tree)
     cfg = MatchConfig(k=k, return_labels=False)
     B = args.batch
+
+    # ---- 1. k-mer lookup throughput ------------------------------------
+    from genestrip_tpu.ops.kmer import window_kmers_np, split_u64
+    rngq = np.random.default_rng(5)
+    qk = np.concatenate([
+        table.keys[rngq.integers(0, len(table.keys), 1 << 19)],
+        rngq.integers(0, 1 << 62, 1 << 19, dtype=np.uint64)])
+    q_hi, q_lo = split_u64(qk)
+    q_hi_d = jnp.asarray(q_hi.view(np.int32))
+    q_lo_d = jnp.asarray(q_lo.view(np.int32))
+
+    @jax.jit
+    def lk(rows, qh, ql):
+        s, f, v = lookup_join(rows, qh, ql, nb_bits=spec.nb_bits)
+        return jnp.sum(f.astype(jnp.int32)), jnp.sum(v)
+
+    nfound, _ = jax.block_until_ready(lk(rows, q_hi_d, q_lo_d))
+    t0 = time.time()
+    reps = 20
+    for _ in range(reps):
+        out = jax.block_until_ready(lk(rows, q_hi_d, q_lo_d))
+    lookup_ps = len(qk) * reps / (time.time() - t0)
+    if args.verbose:
+        print(f"# lookup: {len(qk)} queries, found={int(nfound)}")
+    emit("k-mer lookup throughput (16M-key table, 1M queries/batch)",
+         lookup_ps, "lookups/s/chip", BASELINE_LOOKUPS_PER_SEC)
+
+    # ---- 2. DB build wall-clock ----------------------------------------
+    if not args.skip_dbbuild:
+        import tempfile
+        from genestrip_tpu.db.build import (
+            BuildOptions, DBFiller, DBUpdater,
+        )
+        bp = args.dbbuild_bp
+        rngg = np.random.default_rng(11)
+        with tempfile.TemporaryDirectory() as td:
+            paths = []
+            n_files = 8
+            per = bp // n_files
+            base_map = np.frombuffer(b"ACGT", np.uint8)
+            for i in range(n_files):
+                seq = base_map[rngg.integers(0, 4, per)].tobytes()
+                p = os.path.join(td, f"g{i}.fna.gz")
+                with gzip.open(p, "wb", compresslevel=1) as f:
+                    f.write(b">NC_%06d.1 synthetic genome\n" % i)
+                    for j in range(0, len(seq), 80):
+                        f.write(seq[j:j + 80] + b"\n")
+                paths.append(p)
+            # minimal taxonomy world for the build
+            from genestrip_tpu.tax.tree import TaxTree
+            taxdir = os.path.join(td, "tax")
+            os.makedirs(taxdir)
+            rows_t = [("1", "1", "no rank")] + [
+                (str(100 + i), "1", "species") for i in range(n_files)]
+            with open(os.path.join(taxdir, "nodes.dmp"), "w") as f:
+                for tid, par, rank in rows_t:
+                    f.write(f"{tid}\t|\t{par}\t|\t{rank}\t|\t\t|\t8\t|\t0\t|"
+                            f"\t1\t|\t0\t|\t0\t|\t0\t|\t0\t|\t0\t|\t\t|\n")
+            with open(os.path.join(taxdir, "names.dmp"), "w") as f:
+                for tid, _, _ in rows_t:
+                    f.write(f"{tid}\t|\tn{tid}\t|\t\t|\tscientific name\t|\n")
+            from pathlib import Path
+            tree2 = TaxTree(Path(taxdir))
+            nodes = [tree2.get(str(100 + i)) for i in range(n_files)]
+            opts = BuildOptions(k=31)
+            t0 = time.time()
+            filler = DBFiller(tree2, set(), None, opts)
+            filler.feed_items([(p, nodes[i % len(nodes)])
+                               for i, p in enumerate(paths)], threads=-1)
+            tb2 = filler.build()
+            upd = DBUpdater(tree2, tb2, set(), None, opts)
+            upd.feed_items([(p, nodes[(i + 1) % len(nodes)])
+                            for i, p in enumerate(paths)], threads=-1)
+            upd.flush()
+            dt = time.time() - t0
+        emit(f"DB build wall-clock ({bp/1e6:.0f}M bases fill+update, host)",
+             bp * 2 / dt, "bases/s", BASELINE_DB_BASES_PER_SEC)
+        if args.verbose:
+            print(f"# db build: {dt:.1f}s, {tb2.entries} kmers, "
+                  f"moved={upd.kmers_moved}")
+
+    # ---- stage batches at Matcher-identical shapes ---------------------
+    L = _bucket_len(args.read_len)
+    n_batches = max(args.reads // B, 1)
+    staged = np.full((n_batches, B, L), 255, np.uint8)
+    staged[:, :, : args.read_len] = codes_all[: n_batches * B].reshape(
+        n_batches, B, args.read_len)
     lengths = jnp.full((B,), args.read_len, jnp.int32)
+    from genestrip_tpu.match.pipeline import error_bounds
+    bounds = jnp.asarray(error_bounds(
+        np.full(B, args.read_len, np.int32), k, cfg))
+    staged_d = jnp.asarray(staged)
+    seen = jnp.zeros(spec.n + 1, jnp.uint8)
+    counts = jnp.zeros(1, jnp.int32)
 
-    n_batches = args.reads // B
-    stacked = jnp.asarray(codes_all[: n_batches * B].reshape(n_batches, B, -1))
-
-    # The measured loop runs as ONE jitted lax.scan over the staged batches:
-    # per-call dispatch is amortized exactly as a production input pipeline
-    # (double-buffered host feed) would hide it. seen/counts carry through the
-    # scan, so steps are truly sequential on the device.
-    def make_run(n):
-        @jax.jit
-        def run(rows, vaux_d, anc, batches):
-            seen = jnp.zeros(spec.n + 1, jnp.uint8)
-            counts = jnp.zeros(1, jnp.int32)
-
-            def body(carry, codes):
-                seen, counts = carry
-                out = match_step(cfg, spec, n_nodes, rows, vaux_d, anc,
-                                 codes, lengths, seen, counts)
-                per = (jnp.sum((out["class_node"] >= 0).astype(jnp.int32)),
-                       jnp.sum(out["kmers"]))
-                return (out["seen"], out["counts"]), per
-
-            (seen, counts), per = jax.lax.scan(body, (seen, counts),
-                                               batches[:n])
-            return per[0], jnp.sum(seen[::4096].astype(jnp.int32))
-
-        return run
-
-    run = make_run(n_batches)
-    t0 = time.time()
-    cls, _s = run(rows, vaux_d, anc, stacked)
-    cls = np.asarray(cls)
+    # warmup/compile
+    out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
+                     staged_d[0], lengths, bounds, seen, counts)
+    seen, counts = out["seen"], out["counts"]
+    jax.block_until_ready(out["class_node"])
     t_compile = time.time() - t0
+
+    # ---- 4 (measure now, emit last). device pipeline -------------------
     t0 = time.time()
-    clsN, _s = run(rows, vaux_d, anc, stacked)
-    clsN = np.asarray(clsN)
+    cls = 0
+    for i in range(n_batches):
+        out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
+                         staged_d[i], lengths, bounds, seen, counts)
+        seen, counts = out["seen"], out["counts"]
+    cls = int(jnp.sum((out["class_node"] >= 0).astype(jnp.int32)))
     dt = time.time() - t0
-    n_done = n_batches * B
-    rps = n_done / dt
-    cls = int(clsN[-1])
+    rps = n_batches * B / dt
+
+    # ---- 3. end-to-end from a gzip fastq on disk -----------------------
+    if not args.skip_e2e:
+        import tempfile
+        from genestrip_tpu.match.matcher import Matcher
+        qual = b"I" * args.read_len
+        dev0 = jax.local_devices()[:1]
+        with tempfile.TemporaryDirectory() as td:
+            fq = os.path.join(td, "bench.fastq.gz")
+            n_e2e = args.e2e_reads
+            src = codes_all[: min(len(codes_all), n_e2e)]
+            with gzip.open(fq, "wb", compresslevel=1) as f:
+                base_map = np.frombuffer(b"ACGT", np.uint8)
+                # write in blocks of 4096 reads
+                for s0 in range(0, len(src), 4096):
+                    blk = src[s0:s0 + 4096]
+                    txt = base_map[blk]
+                    recs = []
+                    for j in range(len(blk)):
+                        recs.append(b"@r%d\n" % (s0 + j))
+                        recs.append(txt[j].tobytes())
+                        recs.append(b"\n+\n")
+                        recs.append(qual)
+                        recs.append(b"\n")
+                    f.write(b"".join(recs))
+            m = Matcher(table, tree, cfg, batch_size=B, devices=dev0)
+            m.progress = False
+            t0 = time.time()
+            res = m.run([fq])
+            dt_e = time.time() - t0
+            e2e_rps = m.total_reads / dt_e
+        emit("end-to-end classification (gzip fastq -> CSV stats, incl. "
+             "axon-tunnel h2d)", e2e_rps, "reads/s/chip",
+             BASELINE_READS_PER_SEC)
 
     if args.verbose:
         print(f"# build={t_build:.1f}s compile={t_compile:.1f}s "
-              f"measured {n_done} reads in {dt:.2f}s; "
-              f"last-batch classified={cls}/{B}; table={table.entries} kmers; "
+              f"device loop: {n_batches * B} reads in {dt:.2f}s; "
+              f"classified(last batch)={cls}/{B}; table={table.entries}; "
               f"device={jax.devices()[0]}")
-    print(json.dumps({
-        "metric": "classification throughput (k=31, 150bp reads, 16M-kmer DB, device pipeline)",
-        "value": round(rps, 1),
-        "unit": "reads/s/chip",
-        "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 2),
-    }))
+    emit("classification throughput (k=31, 150bp reads, 16M-kmer DB, "
+         "device pipeline)", rps, "reads/s/chip", BASELINE_READS_PER_SEC)
 
 
 if __name__ == "__main__":

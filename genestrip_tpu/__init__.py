@@ -24,9 +24,10 @@ import os
 import jax
 
 # The k-mer key space is 2k bits (k <= 31 => up to 62 bits). Host code uses
-# uint64 freely; device code prefers uint32 hi/lo pairs (TPU-native), but u64
-# support must be on for the places where a single wide key is simplest.
-jax.config.update("jax_enable_x64", True)
+# numpy uint64 freely; DEVICE code is strictly 32-bit (uint32 hi/lo key
+# halves, int32 everywhere else) — the chip emulates 64-bit, so global x64
+# stays OFF and float64 threshold math lives on the host
+# (match/pipeline.py error_bounds).
 
 # Persistent XLA compilation cache: the match/filter graphs are large and the
 # TPU compiler round-trip is expensive; caching makes every run after the

@@ -50,6 +50,10 @@ def main(argv=None) -> int:
     if args.v:
         print(f"genestrip-tpu {__version__}")
         return 0
+    # multi-host launch (TPU pods / explicit coordinator env): no-op when
+    # single-process — see parallel/distributed.py
+    from genestrip_tpu.parallel import distributed
+    distributed.maybe_initialize()
     if not args.project:
         print("Missing project name. Use -h for help.", file=sys.stderr)
         return 2

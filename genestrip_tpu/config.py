@@ -142,6 +142,12 @@ _KEYS = [
     Key("krakenDB", "str", "krakenuniq"),  # ref GSConfigKey.java:395
     # TPU-specific keys (new in this implementation)
     Key("matchBatchSize", "int", 8192, 1),
+    # TPU-native (no reference equivalent): shard the k-mer hash table over
+    # the device mesh when it exceeds dbShardMinBytes ("auto"), always
+    # ("on") or never ("off") — SURVEY §5.8, the radix-bits-as-shard-key
+    # design (ref role: store/RadixKMerStore.java:38-88)
+    Key("dbShard", "str", "auto"),
+    Key("dbShardMinBytes", "int", 4 << 30, 1),
     Key("dbBuildChunkKMers", "int", 1 << 24, 1 << 16),
 ]
 

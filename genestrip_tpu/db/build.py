@@ -69,6 +69,90 @@ def extract_region_kmers(seq: bytes, opts: BuildOptions) -> np.ndarray:
     return kmers[valid]
 
 
+def iter_extracted_regions(items, opts: BuildOptions, threads: int = 0):
+    """Yields (path, mapped_node, header, kmers) over a list of
+    (path, mapped_node) fasta files, in deterministic file/region order.
+
+    With threads != 0|1, file IO + gzip decompress + window extraction run
+    on a bounded worker pool while accounting stays sequential on the
+    caller — the TPU-native shape of the reference's one-reader-per-thread
+    file fan-out (ref: goals/refseq/FastaReaderGoal.java:101-160; order
+    independence of the downstream merge per FastaReaderGoal.java:104-109,
+    but deterministic order is kept anyway)."""
+    items = list(items)
+    if threads in (0, 1) or len(items) <= 1:
+        for path, mnode in items:
+            with open_input(path) as stream:
+                for header, seq in iter_fasta_regions(stream):
+                    yield path, mnode, header, extract_region_kmers(seq, opts)
+        return
+    import os
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    nw = threads if threads > 0 else max((os.cpu_count() or 2) - 1, 1)
+    nw = min(nw, len(items))
+
+    def load(pm):
+        path, mnode = pm
+        out = []
+        with open_input(path) as stream:
+            for header, seq in iter_fasta_regions(stream):
+                out.append((header, extract_region_kmers(seq, opts)))
+        return path, mnode, out
+
+    with ThreadPoolExecutor(nw) as exe:
+        it = iter(items)
+        pending = deque()
+        for _ in range(nw + 1):
+            nxt = next(it, None)
+            if nxt is None:
+                break
+            pending.append(exe.submit(load, nxt))
+        while pending:
+            path, mnode, regions = pending.popleft().result()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append(exe.submit(load, nxt))
+            for header, kmers in regions:
+                yield path, mnode, header, kmers
+
+
+class _SeenKmers:
+    """Exact incremental membership over a growing k-mer set, vectorized:
+    a sorted base array + pending fresh chunks, merged geometrically
+    (replaces the per-k-mer Python set of the cap-accounting path)."""
+
+    def __init__(self):
+        self._sorted = np.empty(0, np.uint64)
+        self._pending: list[np.ndarray] = []
+        self._pending_n = 0
+
+    def _compact(self):
+        if self._pending:
+            allp = np.concatenate([self._sorted] + self._pending)
+            self._sorted = np.unique(allp)
+            self._pending, self._pending_n = [], 0
+
+    def contains(self, kmers: np.ndarray) -> np.ndarray:
+        if self._pending_n > max(len(self._sorted) // 2, 1 << 20):
+            self._compact()
+        s = self._sorted
+        p = np.searchsorted(s, kmers)
+        pc = np.minimum(p, max(len(s) - 1, 0))
+        m = (len(s) > 0) & (s[pc] == kmers)
+        for cs in self._pending:
+            p = np.searchsorted(cs, kmers)
+            pc = np.minimum(p, max(len(cs) - 1, 0))
+            m |= (len(cs) > 0) & (cs[pc] == kmers)
+        return m
+
+    def update(self, kmers: np.ndarray):
+        if len(kmers):
+            self._pending.append(np.sort(np.asarray(kmers, np.uint64)))
+            self._pending_n += len(kmers)
+
+
 class _RegionCounts:
     """Per-taxid (regions, kmers) counters on nodes and their ancestors
     (ref: AbstractRefSeqFastaReader.endRegion + StringLong2DigitTrie)."""
@@ -101,12 +185,18 @@ class DBFiller:
         self.region_counts = _RegionCounts()
         self.total_kmers = 0      # incl. duplicates (the fillsize statistic)
         caps = (opts.max_kmers_per_taxid < NO_LIMIT)
-        self._seen: set | None = set() if caps else None
+        self._seen: _SeenKmers | None = _SeenKmers() if caps else None
 
     def feed_file(self, path, mapped_node: TaxNode | None = None) -> None:
         with open_input(path) as stream:
             for header, seq in iter_fasta_regions(stream):
                 self._region(header, seq, path, mapped_node)
+
+    def feed_items(self, items, threads: int = 0) -> None:
+        """Feed many (path, mapped_node) files with parallel extraction."""
+        for path, mnode, header, kmers in iter_extracted_regions(
+                items, self.opts, threads):
+            self._region(header, None, path, mnode, kmers=kmers)
 
     def _resolve(self, header: bytes, mapped_node, complete_only: bool):
         if mapped_node is not None:
@@ -119,7 +209,8 @@ class DBFiller:
             return None
         return self.accession_map.get(acc.decode(), complete_only)
 
-    def _region(self, header: bytes, seq: bytes, path, mapped_node) -> None:
+    def _region(self, header: bytes, seq, path, mapped_node,
+                kmers: np.ndarray | None = None) -> None:
         opts = self.opts
         node = self._resolve(header, mapped_node, opts.complete_genomes_only)
         if node is None or not (not self.tax_nodes or node in self.tax_nodes):
@@ -146,16 +237,19 @@ class DBFiller:
         store_node = self._rework_fill(node, header, path)
         store_node.mark_required()
 
-        kmers = extract_region_kmers(seq, opts)
+        if kmers is None:
+            kmers = extract_region_kmers(seq, opts)
         self.total_kmers += len(kmers)
         if self._seen is not None:
-            # exact incremental dedup needed for cap accounting parity
-            fresh = [km for km in kmers.tolist() if km not in self._seen]
+            # exact incremental dedup needed for cap accounting parity —
+            # vectorized membership over a sorted/pending seen set (was a
+            # per-k-mer Python set loop)
+            fresh = kmers[~self._seen.contains(kmers)]
             budget = opts.max_kmers_per_taxid - kmers_for_node
             fresh = fresh[: max(budget, 0)]
             self._seen.update(fresh)
             new_count = len(fresh)
-            self.builder.add(np.array(fresh, dtype=np.uint64), store_node.tax_id)
+            self.builder.add(fresh, store_node.tax_id)
         else:
             self.builder.add(kmers, store_node.tax_id)
             new_count = len(kmers)   # duplicates resolved by the final dedup
@@ -213,7 +307,14 @@ class DBUpdater:
             for header, seq in iter_fasta_regions(stream):
                 self._region(header, seq, path, mapped_node)
 
-    def _region(self, header: bytes, seq: bytes, path, mapped_node) -> None:
+    def feed_items(self, items, threads: int = 0) -> None:
+        """Feed many (path, mapped_node) files with parallel extraction."""
+        for path, mnode, header, kmers in iter_extracted_regions(
+                items, self.opts, threads):
+            self._region(header, None, path, mnode, kmers=kmers)
+
+    def _region(self, header: bytes, seq, path, mapped_node,
+                kmers: np.ndarray | None = None) -> None:
         opts = self.opts
         if mapped_node is not None:
             node = mapped_node
@@ -234,7 +335,8 @@ class DBUpdater:
         if node is None:
             # LCA(old, null) keeps the old value (ref provider :246-253) — no-op
             return
-        kmers = extract_region_kmers(seq, opts)
+        if kmers is None:
+            kmers = extract_region_kmers(seq, opts)
         if len(kmers) == 0:
             return
         self._pend_kmers.append(kmers)

@@ -27,6 +27,23 @@ from pathlib import Path
 log = logging.getLogger("genestrip")
 
 
+class _NestingFilter(logging.Filter):
+    """Indents log messages by the current goal-recursion depth
+    (ref: base util/GSLogFactory.java:62-70 incN/decN — the reference's
+    custom commons-logging factory indents nested goal output)."""
+
+    depth = 0
+
+    def filter(self, record: logging.LogRecord) -> bool:
+        if self.depth > 0 and isinstance(record.msg, str):
+            record.msg = ". " * self.depth + record.msg
+        return True
+
+
+_nesting = _NestingFilter()
+log.addFilter(_nesting)
+
+
 class Goal:
     def __init__(self, project, name: str, deps: list["Goal"] | None = None,
                  user_goal: bool = False):
@@ -70,9 +87,13 @@ class Goal:
             return
         try:
             self.mark_potentially_required(True)
-            for d in self.deps:
-                if not d.is_weak():
-                    d.make()
+            _nesting.depth += 1
+            try:
+                for d in self.deps:
+                    if not d.is_weak():
+                        d.make()
+            finally:
+                _nesting.depth -= 1
             self.make_this()
         finally:
             self.mark_potentially_required(False)
@@ -107,10 +128,15 @@ class Goal:
     def all_dependents_made(self) -> None:
         """Memory-release hook (ref Goal.allDependentsMade); default no-op."""
 
+    # Goals that allocate heavily log memory at INFO after making
+    # (ref: Goal.logHeapInfo:277-290 + the LogHeapInfo marker interface)
+    log_heap_info = False
+
     def _log_heap(self) -> None:
-        if log.isEnabledFor(logging.DEBUG):
+        level = logging.INFO if self.log_heap_info else logging.DEBUG
+        if log.isEnabledFor(level):
             rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
-            log.debug("Peak RSS after goal %s: %d MB", self.name, rss_mb)
+            log.log(level, "Peak RSS after goal %s: %d MB", self.name, rss_mb)
 
     def do_make(self) -> None:
         pass

@@ -192,6 +192,9 @@ class GSMaker:
         db = reg(_FinalDBGoal(p, updatedb, tempdb))
         loaddb = reg(ObjectGoal(p, "loaddb", deps=[db],
                                 func=lambda: self._load_db_file(p.db_file, db)))
+        # heavy allocators log heap at INFO (ref Goal.logHeapInfo:277-290)
+        for heavy in (filldb, updatedb, loaddb):
+            heavy.log_heap_info = True
         dbconf = reg(ObjectGoal(p, "dbconf", deps=[db],
                                 func=lambda: Database.load_config_info(p.db_file)))
         reg(_ShowDBConfGoal(p, dbconf))
@@ -297,10 +300,9 @@ class GSMaker:
         amap = accmap_goal.get() if use_refseq else None
         filler = dbbuild.DBFiller(tree, tax_nodes, amap, opts)
         files, additional = self._db_input_files(categories, refseqfna, additional)
-        for f in files:
-            filler.feed_file(f)
-        for f, node in additional.items():
-            filler.feed_file(f, mapped_node=node)
+        items = ([(f, None) for f in files]
+                 + [(f, node) for f, node in additional.items()])
+        filler.feed_items(items, threads=p["threads"])
         table = filler.build()
         tree.init_positions()
         small = SmallTaxTree.from_tax_tree(tree)
@@ -322,10 +324,9 @@ class GSMaker:
         updater = dbbuild.DBUpdater(tree, filled.table, tax_nodes, amap, opts,
                                     chunk_kmers=p["dbBuildChunkKMers"])
         files, additional = self._db_input_files(categories, refseqfna, additional)
-        for f in files:
-            updater.feed_file(f)
-        for f, node in additional.items():
-            updater.feed_file(f, mapped_node=node)
+        items = ([(f, None) for f in files]
+                 + [(f, node) for f, node in additional.items()])
+        updater.feed_items(items, threads=p["threads"])
         updater.flush()
         log.info("KMers moved via update: %d", updater.kmers_moved)
         p.additional_properties[GENESTRIP_VERSION] = __version__
@@ -997,20 +998,27 @@ class _MatchResGoal(ObjectGoal):
             matcher = Matcher(db.table, db.tree, cfg, db_md5=db.md5 or "",
                               batch_size=p["matchBatchSize"],
                               max_kmer_res_counts=p["maxKMerResCounts"],
-                              write_all=p["writeAll"])
+                              write_all=p["writeAll"],
+                              shard_db=p["dbShard"],
+                              shard_db_min_bytes=p["dbShardMinBytes"])
             matcher.with_probs = p["withProbs"]
             matcher.progress = p["progressBar"]
             matcher.progress_interval_ms = p["progressBarUpdateMs"]
             matcher.threads = p["threads"]
             gz = p["gzipFastqOutput"]
             filtered = kraken = None
+            # multi-host: per-read outputs are host-local shards (suffix
+            # .pN for N > 0); merged stats are identical on every process
+            from genestrip_tpu.parallel import distributed as _dist
+            pid = _dist.process_index()
+            suff = (lambda f: f.with_name(f.name + f".p{pid}")) if pid else (lambda f: f)
             try:
                 if p["writeFilteredFastq"]:
-                    filtered = open_output(p.output_file(
-                        self.name, "fastq_res", key=key, gzip=gz))
+                    filtered = open_output(suff(p.output_file(
+                        self.name, "fastq_res", key=key, gzip=gz)))
                 if p["writeKrakenStyleOut"]:
-                    kraken = open_output(p.output_file(
-                        self.name, "kraken_out", key=key, gzip=False))
+                    kraken = open_output(suff(p.output_file(
+                        self.name, "kraken_out", key=key, gzip=False)))
                 res = matcher.run(resources, filtered_out=filtered, kraken_out=kraken)
             finally:
                 if filtered:

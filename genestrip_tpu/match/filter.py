@@ -24,20 +24,24 @@ from genestrip_tpu.store.index import KmerIndex
 from genestrip_tpu.store.hash import lookup_hash
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "k", "nb_bits", "min_pos_count", "pos_ratio"))
-def filter_step(k: int, nb_bits: int,
-                min_pos_count: int, pos_ratio: float,
-                rows, codes, lengths):
+@functools.partial(jax.jit, static_argnames=("k", "nb_bits"))
+def filter_step(k: int, nb_bits: int, rows, codes, lengths, thr):
+    """thr: [B] int32 acceptance thresholds, precomputed on the host in
+    float64 (the ratio threshold is `int(max * posRatioFilter)` in Java
+    double math, ref isAcceptRead — kept off-device so the TPU graph stays
+    32-bit)."""
     hi, lo, clean, exists = window_kmers(codes, lengths, k)
     _, found, _ = lookup_hash(rows, hi, lo, nb_bits=nb_bits)
     contained = jnp.sum((found & clean & exists).astype(jnp.int32), axis=1)
-    n_win = jnp.maximum(lengths - (k - 1), 0)
-    if min_pos_count > 0:
-        thr = jnp.full_like(n_win, min_pos_count)
-    else:
-        thr = (n_win.astype(jnp.float64) * pos_ratio).astype(jnp.int32)
     return contained >= jnp.maximum(thr, 1)
+
+
+def filter_thresholds(lengths: np.ndarray, k: int, min_pos_count: int,
+                      pos_ratio: float) -> np.ndarray:
+    n_win = np.maximum(lengths.astype(np.int64) - (k - 1), 0)
+    if min_pos_count > 0:
+        return np.full_like(lengths, min_pos_count, dtype=np.int32)
+    return (n_win.astype(np.float64) * pos_ratio).astype(np.int32)
 
 
 class FastqFilter:
@@ -70,10 +74,12 @@ class FastqFilter:
                         codes = np.concatenate(
                             [codes, np.full((pad, codes.shape[1]), 255, np.uint8)])
                         lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+                    thr = filter_thresholds(lengths, self.index.k,
+                                            self.min_pos_count, self.pos_ratio)
                     acc = np.asarray(filter_step(
                         self.index.k, d["nb_bits"],
-                        self.min_pos_count, self.pos_ratio,
-                        d["rows"], jnp.asarray(codes), jnp.asarray(lengths)))
+                        d["rows"], jnp.asarray(codes), jnp.asarray(lengths),
+                        jnp.asarray(thr)))
                     self.total += batch.n
                     for b in range(batch.n):
                         out = filtered_out if acc[b] else dumped_out

@@ -17,11 +17,12 @@ from genestrip_tpu.io.reads import (
 )
 from genestrip_tpu.io.streams import Progress, StreamingResource
 from genestrip_tpu.match.pipeline import (
-    LABEL_INVALID, LABEL_MISS, MatchConfig, match_step,
+    LABEL_INVALID, LABEL_MISS, MatchConfig, error_bounds, match_step,
 )
 from genestrip_tpu.match.results import CountsPerTaxid, MatchingResult
 from genestrip_tpu.store.table import KmerTable
 from genestrip_tpu.tax.small import SmallTaxTree
+from genestrip_tpu.parallel import distributed as dist
 from genestrip_tpu.parallel import mesh as mesh_mod
 
 import jax
@@ -34,7 +35,9 @@ class Matcher:
 
     def __init__(self, table: KmerTable, tree: SmallTaxTree, cfg: MatchConfig,
                  db_md5: str = "", batch_size: int = 4096, max_kmer_res_counts: int = 0,
-                 write_all: bool = True, devices=None):
+                 write_all: bool = True, devices=None,
+                 shard_db: str | bool = "auto",
+                 shard_db_min_bytes: int = 4 << 30):
         """devices: device list for data-parallel matching (default: all
         visible devices; with more than one, batches are sharded over a
         jax.sharding.Mesh and per-node stats psum-merged — the TPU
@@ -67,7 +70,9 @@ class Matcher:
         self.long_chunk_windows = 8192
         T = len(tree)
         self.n_nodes = T
-        devices = devices if devices is not None else jax.devices()
+        # local chips only: multi-host runs file-level data parallelism with
+        # per-process meshes + an aggregation-time merge (parallel/distributed)
+        devices = devices if devices is not None else jax.local_devices()
         self._mesh = mesh_mod.make_mesh(devices) if len(devices) > 1 else None
         self._n_dev = len(devices) if self._mesh is not None else 1
         # batch size must split evenly over the device mesh
@@ -80,9 +85,22 @@ class Matcher:
         self._vidx_of_slot = sa["vidx_of_slot"]
         self._n_table = sa["n"]
         self._anc = jnp.asarray(tree.ancestor_at_depth)
+        # sharded-DB mode (SURVEY §5.8): bucket-range-shard the hash rows
+        # over the mesh when the table is too big to replicate per chip
+        # ("auto": above shard_db_min_bytes). Ref role:
+        # store/RadixKMerStore.java:38-88 (radix bits as the shard key).
+        nb_rows = int(self._rows.shape[0])
+        self.shard_db = bool(
+            self._mesh is not None
+            and nb_rows % self._n_dev == 0
+            and (shard_db is True or shard_db == "on"
+                 or (shard_db == "auto"
+                     and self._rows.nbytes > shard_db_min_bytes)))
         if self._mesh is not None:
             repl = NamedSharding(self._mesh, P())
-            self._rows = jax.device_put(self._rows, repl)
+            rows_sh = (NamedSharding(self._mesh, P("reads"))
+                       if self.shard_db else repl)
+            self._rows = jax.device_put(self._rows, rows_sh)
             self._vaux = jax.device_put(self._vaux, repl)
             self._anc = jax.device_put(self._anc, repl)
             self._batch_sharding = NamedSharding(self._mesh, P("reads"))
@@ -96,6 +114,11 @@ class Matcher:
         self.contig_sq = np.zeros(T, np.int64)
         self.max_contig = np.zeros(T, np.int64)
         self.max_contig_desc = [b""] * T
+        # global-order key of each node's max-contig achiever (resource
+        # index, read number): lets the multi-host merge pick the same
+        # first-achiever a single-host run over all files would
+        self.max_contig_src = np.full(T, np.iinfo(np.int64).max, np.int64)
+        self._res_idx = 0
         self.reads1 = np.zeros(T, np.int64)
         self.reads = np.zeros(T, np.int64)
         self.reads_kmers = np.zeros(T, np.int64)
@@ -124,7 +147,11 @@ class Matcher:
         overlap of fastq/AbstractFastqReader.java:88-185).
         """
         pending = None
-        for res in resources:
+        nproc, pid = dist.process_count(), dist.process_index()
+        for res_idx, res in enumerate(resources):
+            if res_idx % nproc != pid:
+                continue        # another host's shard (file-level DP)
+            self._res_idx = res_idx
             if not isinstance(res, StreamingResource):
                 res = StreamingResource(res)
             fasta = res.type_hint == "fasta"
@@ -175,21 +202,24 @@ class Matcher:
             codes = np.concatenate(
                 [codes, np.full((pad, codes.shape[1]), 255, np.uint8)])
             lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+        bounds = error_bounds(lengths, cfg.k, cfg)
         if self._mesh is not None:
             step = self._sharded_steps.get(cfg)
             if step is None:
                 step = mesh_mod.make_sharded_match_step(
-                    self._mesh, cfg, self._spec, self.n_nodes)
+                    self._mesh, cfg, self._spec, self.n_nodes,
+                    shard_db=self.shard_db)
                 self._sharded_steps[cfg] = step
             codes_d = jax.device_put(codes, self._batch_sharding)
             lengths_d = jax.device_put(lengths, self._batch_sharding)
+            bounds_d = jax.device_put(bounds, self._batch_sharding)
             out = step(self._rows, self._vaux, self._anc,
-                       codes_d, lengths_d, self._seen, self._counts)
+                       codes_d, lengths_d, bounds_d, self._seen, self._counts)
         else:
             out = match_step(cfg, self._spec, self.n_nodes,
                              self._rows, self._vaux, self._anc,
                              jnp.asarray(codes), jnp.asarray(lengths),
-                             self._seen, self._counts)
+                             jnp.asarray(bounds), self._seen, self._counts)
         self._seen = out["seen"]
         self._counts = out["counts"]
         return out
@@ -223,21 +253,24 @@ class Matcher:
         cfg2 = MatchConfig(k=k, max_paths=cfg.max_paths, classify=False,
                            with_unique=cfg.with_unique,
                            with_counts=cfg.with_counts, return_labels=True)
+        bounds = error_bounds(clens, cfg2.k, cfg2)
         if self._mesh is not None:
             step = self._sharded_steps.get(cfg2)
             if step is None:
                 step = mesh_mod.make_sharded_match_step(
-                    self._mesh, cfg2, self._spec, self.n_nodes)
+                    self._mesh, cfg2, self._spec, self.n_nodes,
+                    shard_db=self.shard_db)
                 self._sharded_steps[cfg2] = step
             out = step(self._rows, self._vaux, self._anc,
                        jax.device_put(mat, self._batch_sharding),
                        jax.device_put(clens, self._batch_sharding),
+                       jax.device_put(bounds, self._batch_sharding),
                        self._seen, self._counts)
         else:
             out = match_step(cfg2, self._spec, self.n_nodes,
                              self._rows, self._vaux, self._anc,
                              jnp.asarray(mat), jnp.asarray(clens),
-                             self._seen, self._counts)
+                             jnp.asarray(bounds), self._seen, self._counts)
         self._seen = out["seen"]
         self._counts = out["counts"]
 
@@ -271,6 +304,8 @@ class Matcher:
             if ln > self.max_contig[t]:
                 self.max_contig[t] = ln
                 self.max_contig_desc[t] = name
+                self.max_contig_src[t] = ((self._res_idx << 40)
+                                          | batch.read_no0)
 
         found = bool(hit.any())
         if filtered_out is not None and found:
@@ -307,7 +342,7 @@ class Matcher:
         # per-node window/contig stats
         self.kmers += np.asarray(out["kmers"], np.int64)
         self.contigs += np.asarray(out["contigs"], np.int64)
-        self.contig_sq += np.asarray(out["contig_sq"]).astype(np.int64)
+        self.contig_sq += np.asarray(out["contig_sq"]).astype(np.int64).sum(axis=0)
         self.reads1 += np.asarray(out["reads1"], np.int64)
         bmax = np.asarray(out["max_contig"], np.int64)
         benc = np.asarray(out["argmax_enc"])
@@ -320,6 +355,8 @@ class Matcher:
             # (ref: FastqKMerMatcher.java:404-408)
             sp = desc.find(b" ")
             self.max_contig_desc[t] = desc[1:sp if sp >= 0 else len(desc)]
+            self.max_contig_src[t] = ((self._res_idx << 40)
+                                      | (batch.read_no0 + b))
 
         # per-read classified stats, in read order (ref :508-530)
         if cfg.classify:
@@ -394,7 +431,60 @@ class Matcher:
 
     # ------------------------------------------------------------------
 
+    _SUM_FIELDS = ("kmers", "contigs", "contig_sq", "reads1", "reads",
+                   "reads_kmers", "reads_bps", "error_sum", "error_sq_sum",
+                   "class_error_sum", "class_error_sq_sum")
+
+    def _merge_across_processes(self, allgather=None):
+        """Merge per-process matcher states into the global result state
+        (multi-host file-level DP; see parallel/distributed.py). Statistic
+        vectors sum; unique-counter 'seen' ORs, counts sum; max-contig picks
+        the longest with ties broken by global (resource, read) order, so
+        the result equals a single-host run over all files (float error sums
+        aside — those add in per-process partial-sum order)."""
+        allgather = allgather or dist.allgather_stats
+        T = self.n_nodes
+        desc_w = 256
+        desc_mat = np.zeros((T, desc_w), np.uint8)
+        for t, d in enumerate(self.max_contig_desc):
+            b = d[:desc_w]
+            desc_mat[t, : len(b)] = np.frombuffer(b, np.uint8)
+        local = {
+            "sum": {k: np.asarray(getattr(self, k)) for k in self._SUM_FIELDS},
+            "totals": np.array([self.total_reads, self.total_kmers,
+                                self.total_bps], np.int64),
+            "mc": self.max_contig,
+            "mcsrc": self.max_contig_src,
+            "mcdesc": desc_mat,
+            "seen": mesh_mod.merge_seen(self._seen).astype(np.uint8),
+            "counts": mesh_mod.merge_counts(self._counts).astype(np.int64),
+        }
+        g = allgather(local)
+        for k in self._SUM_FIELDS:
+            setattr(self, k, g["sum"][k].sum(axis=0))
+        self.total_reads, self.total_kmers, self.total_bps = (
+            int(x) for x in g["totals"].sum(axis=0))
+        mc, src = g["mc"], g["mcsrc"]
+        nproc = mc.shape[0]
+        best_p = np.zeros(T, np.int64)
+        best_mc, best_src = mc[0].copy(), src[0].copy()
+        for p_ in range(1, nproc):
+            better = (mc[p_] > best_mc) | ((mc[p_] == best_mc)
+                                           & (src[p_] < best_src))
+            best_p = np.where(better, p_, best_p)
+            best_mc = np.where(better, mc[p_], best_mc)
+            best_src = np.where(better, src[p_], best_src)
+        self.max_contig = best_mc
+        self.max_contig_src = best_src
+        self.max_contig_desc = [
+            g["mcdesc"][best_p[t], t].tobytes().rstrip(b"\x00")
+            for t in range(T)]
+        self._seen = g["seen"].max(axis=0)
+        self._counts = g["counts"].sum(axis=0)
+
     def _build_result(self) -> MatchingResult:
+        if dist.process_count() > 1:
+            self._merge_across_processes()
         tree = self.tree
         unique = self._unique_per_node() if self.cfg.with_unique else None
         count_map = (self._max_kmer_counts()

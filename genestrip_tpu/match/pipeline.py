@@ -59,6 +59,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from genestrip_tpu.ops.kmer import window_kmers
+from genestrip_tpu.ops.scan import assoc_scan_1d
 from genestrip_tpu.store.hash import (
     BUCKET, build_hash, lookup_hash, lookup_join,
 )
@@ -96,7 +97,8 @@ def _attach_aux(vaux, idx, n_planes: int):
     planes = []
     for c in range(n_planes):
         r = jnp.zeros(Q + 1, jnp.int32).at[first_pos[:V]].set(vaux[:V, c])
-        vals = jax.lax.associative_scan(comb, (run_id, r[:Q]))[1]
+        vals = assoc_scan_1d(comb, (run_id, r[:Q]),
+                             (jnp.int32(-1), jnp.int32(0)))[1]
         planes.append(jnp.zeros(Q, jnp.int32).at[s_q].set(vals))
     return planes
 
@@ -166,11 +168,43 @@ def _lca_pair(anc, a, b):
     return jnp.where(d >= 0, jnp.take_along_axis(aa, jnp.maximum(d, 0)[..., None], axis=-1)[..., 0], -1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "spec", "n_nodes"),
+def error_bounds(lengths: np.ndarray, k: int, cfg: MatchConfig) -> np.ndarray:
+    """Per-read integer error bounds, precomputed on the host in float64.
+
+    Keeps the reference's Java-double threshold semantics without any
+    64-bit math on device: a read tax-fails iff tax_err >= bounds[:, 0]
+    (err > A or err > A*n_win, ref FastqKMerMatcher.java:371-379), and its
+    per-tax stats count iff class_err <= bounds[:, 1] (ref :508-510).
+    Disabled thresholds map to never/always via INT32_MAX.
+    """
+    big = np.int64(2**31 - 1)
+    n = len(lengths)
+    n_win = np.maximum(lengths.astype(np.int64) - (k - 1), 0).astype(np.float64)
+    A = cfg.max_read_tax_error
+    if A < 0:
+        tb = np.full(n, big)
+    elif A >= 1:
+        tb = np.full(n, np.int64(np.floor(A)) + 1)
+    else:
+        tb = np.floor(A * n_win).astype(np.int64) + 1
+    Bc = cfg.max_read_class_error
+    if Bc < 0:
+        cb = np.full(n, big)
+    elif Bc >= 1:
+        cb = np.floor(np.maximum(Bc, Bc * n_win)).astype(np.int64)
+    else:
+        cb = np.floor(Bc * n_win).astype(np.int64)
+    return np.stack([np.minimum(tb, big), np.minimum(cb, big)],
+                    axis=1).astype(np.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "spec", "n_nodes", "db_axis"),
                    donate_argnames=("seen", "counts"))
 def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
                rows, vaux, anc,
-               codes, lengths, seen, counts):
+               codes, lengths, err_bounds, seen, counts,
+               db_axis: str | None = None):
     """One batch of reads against the table. Returns per-read and per-node stats.
 
     rows is the quotient-hash bucket table (two [NB,8] row gathers per
@@ -186,8 +220,23 @@ def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
     hi, lo, clean, exists = window_kmers(codes, lengths, k)
     W = L - k + 1
 
-    lk = lookup_join if B * W >= _JOIN_MIN_Q else lookup_hash
-    pos, found_win, vidx = lk(rows, hi, lo, nb_bits=spec.nb_bits)
+    if db_axis is not None:
+        # sharded-DB lookup (SURVEY §5.8): queries all-gathered over the
+        # mesh axis, each shard joins its bucket range of the table, shard
+        # partials psum-merged inside lookup_join; this shard keeps its own
+        # read-slice of the merged results. Table memory scales 1/n_dev.
+        q_loc = B * W
+        hi_g = jax.lax.all_gather(hi.reshape(-1), db_axis, tiled=True)
+        lo_g = jax.lax.all_gather(lo.reshape(-1), db_axis, tiled=True)
+        pos_g, fnd_g, vid_g = lookup_join(rows, hi_g, lo_g,
+                                          nb_bits=spec.nb_bits, axis=db_axis)
+        i0 = jax.lax.axis_index(db_axis) * q_loc
+        pos = jax.lax.dynamic_slice(pos_g, (i0,), (q_loc,)).reshape(B, W)
+        found_win = jax.lax.dynamic_slice(fnd_g, (i0,), (q_loc,)).reshape(B, W)
+        vidx = jax.lax.dynamic_slice(vid_g, (i0,), (q_loc,)).reshape(B, W)
+    else:
+        lk = lookup_join if B * W >= _JOIN_MIN_Q else lookup_hash
+        pos, found_win, vidx = lk(rows, hi, lo, nb_bits=spec.nb_bits)
     valid = clean & exists
     hit0 = valid & found_win
     nv = vaux.shape[0] - 1
@@ -233,13 +282,21 @@ def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
     # end-to-end (falls off the fast path entirely).
     contigs = zT.at[tnode].add(jnp.where(end_hit, 1, 0).reshape(-1))[:T]
     kmers = zT.at[tnode].add(clen_f)[:T]
-    # Per-batch sum of clen^2 is bounded by B * W * max_clen <= B*W*W: i32 is
-    # exact when that cannot overflow (short reads), f64 otherwise.
-    if B * W * W < 2**31:
-        contig_sq = zT.at[tnode].add(clen_f * clen_f)[:T]
+    # Per-batch sum of clen^2 is bounded by B*W*W per node. Exact in pure
+    # int32 by splitting the batch into G row-groups with Bg*W^2 < 2^30 and
+    # returning [G, T] partial sums — the host accumulates in int64 (the
+    # mesh path stacks groups across shards instead of psum-ing, for the
+    # same no-overflow guarantee). G == 1 for ordinary read lengths.
+    G = max(1, -(-(B * W * W) // (1 << 30)))
+    Bg = -(-B // G)
+    sq_val = clen_f * clen_f
+    if G == 1:
+        contig_sq = zT.at[tnode].add(sq_val)[None, :T]
     else:
-        contig_sq = jnp.zeros(T + 1, jnp.float64).at[tnode].add(
-            clen_f.astype(jnp.float64) ** 2)[:T]
+        grp = (jax.lax.broadcasted_iota(jnp.int32, (B, W), 0) // Bg).reshape(-1)
+        tgt_sq = grp * (T + 1) + tnode
+        contig_sq = jnp.zeros(G * (T + 1), jnp.int32).at[tgt_sq].add(
+            sq_val).reshape(G, T + 1)[:, :T]
     # max contig + first achiever in ONE scatter-min of a composite
     # ((W - clen) in the high bits, encoded (read, window) below): the min
     # composite per node IS (max clen, smallest enc) — replacing the
@@ -380,13 +437,8 @@ def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
     early = jnp.sum((bad_b & (col <= (n_win - 2)[:, None])).astype(jnp.int32), axis=1)
     late = jnp.any(bad_b & (col >= (n_win - 1)[:, None]), axis=1).astype(jnp.int32)
     tax_err = n_miss + early + late
-    A = cfg.max_read_tax_error
-    if A < 0:
-        tax_failed = jnp.zeros((B,), bool)
-    elif A >= 1:
-        tax_failed = tax_err.astype(jnp.float64) > A
-    else:
-        tax_failed = tax_err.astype(jnp.float64) > A * n_win.astype(jnp.float64)
+    # host-precomputed integer bound (error_bounds) — no float64 on device
+    tax_failed = tax_err >= err_bounds[:, 0]
 
     # ---- winner: LCA of all candidates achieving the best sum --------------
     is_best = (sums == best[:, None]) & (cand >= 0) & (best[:, None] > 0)
@@ -462,15 +514,8 @@ def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
         read_kmers = jnp.where(classified, best, 0)
 
     # ---- class error check (gates per-tax stats only, ref :508-510) --------
-    class_err_c = (n_win - read_kmers).astype(jnp.float64)
-    Bc = cfg.max_read_class_error
-    if Bc < 0:
-        stats_ok = jnp.ones((B,), bool)
-    elif Bc >= 1:
-        stats_ok = (class_err_c <= Bc) | (class_err_c <= Bc * n_win.astype(jnp.float64))
-    else:
-        stats_ok = class_err_c <= Bc * n_win.astype(jnp.float64)
-    stats_ok = stats_ok & (class_node >= 0)
+    class_err_c = n_win - read_kmers
+    stats_ok = (class_err_c <= err_bounds[:, 1]) & (class_node >= 0)
 
     out["class_node"] = class_node
     out["read_kmers"] = read_kmers

@@ -32,7 +32,7 @@ except ImportError:  # older jax
 from genestrip_tpu.match.pipeline import MatchConfig, TableSpec, match_step
 
 # outputs that are per-node vectors and must be summed across shards
-_PSUM_OUTS = ("contigs", "kmers", "contig_sq", "reads1")
+_PSUM_OUTS = ("contigs", "kmers", "reads1")
 # outputs that stay sharded along the read axis (read order is preserved:
 # shard s holds the contiguous block s of the batch)
 _SHARDED_OUTS = ("found", "n_win", "class_node", "read_kmers", "tax_err",
@@ -45,7 +45,8 @@ def make_mesh(devices=None, axis: str = "reads") -> Mesh:
 
 
 def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, spec: TableSpec,
-                            n_nodes: int, axis: str = "reads"):
+                            n_nodes: int, axis: str = "reads",
+                            shard_db: bool = False):
     """A jitted shard_map data-parallel match step over the given mesh.
 
     Signature matches match_step minus the static args:
@@ -59,16 +60,20 @@ def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, spec: TableSpec,
     """
     n_dev = mesh.shape[axis]
 
-    def local_step(rows, vaux, anc, codes, lengths, seen, counts):
+    def local_step(rows, vaux, anc, codes, lengths, err_bounds, seen, counts):
         B_local, L = codes.shape
         W = L - cfg.k + 1
         out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
-                         codes, lengths, seen[0], counts[0])
+                         codes, lengths, err_bounds, seen[0], counts[0],
+                         db_axis=axis if shard_db else None)
         idx = jax.lax.axis_index(axis)
         res = {}
         for k_, v in out.items():
             if k_ in _PSUM_OUTS:
                 res[k_] = jax.lax.psum(v, axis)
+            elif k_ == "contig_sq":
+                res[k_] = v              # [G, T] i32: stack shards, no psum
+                #    (host sums groups in int64; a psum could overflow i32)
             elif k_ == "max_contig":
                 res[k_] = jax.lax.pmax(v, axis)
             elif k_ == "argmax_enc":
@@ -86,12 +91,13 @@ def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, spec: TableSpec,
         return res
 
     repl = P()
-    in_specs = (repl, repl, repl,                     # table + tree arrays
-                P(axis), P(axis),                     # codes, lengths
+    rows_spec = P(axis) if shard_db else repl         # bucket-range sharding
+    in_specs = (rows_spec, repl, repl,                # table + tree arrays
+                P(axis), P(axis), P(axis),            # codes, lengths, bounds
                 P(axis), P(axis))                     # seen, counts (stacked)
 
     def spec_for(name):
-        if name in _SHARDED_OUTS or name in ("seen", "counts"):
+        if name in _SHARDED_OUTS or name in ("seen", "counts", "contig_sq"):
             return P(axis)
         return repl
 
@@ -108,7 +114,7 @@ def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, spec: TableSpec,
     except TypeError:  # older jax: check_rep instead of check_vma
         fn = shard_map(local_step, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_rep=False)
-    return jax.jit(fn, donate_argnums=(5, 6))
+    return jax.jit(fn, donate_argnums=(6, 7))
 
 
 def unique_state(n_table: int, mesh: Mesh | None, with_counts: bool,

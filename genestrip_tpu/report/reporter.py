@@ -148,7 +148,7 @@ def compute_distances(tree, db_stats: dict, k: int):
         if ratio != ratio:
             dist[i] = float("nan")
     portion = [dist[i] - (dist[branch[i]] if branch[i] >= 0 else 0) for i in range(n)]
-    return dist, portion
+    return dist, portion, branch
 
 
 def dbinfo_lines(tree, db_stats: dict, k: int, total_entries: int, md5: str | None):
@@ -156,7 +156,7 @@ def dbinfo_lines(tree, db_stats: dict, k: int, total_entries: int, md5: str | No
     in the total row)."""
     yield "pos;level;name;rank;taxid;stored kmers;requested;distance;distance portion;"
     yield f"0;0;TOTAL;no rank;{md5 or ''};{total_entries}; false; 0; 0;"
-    dist, portion = compute_distances(tree, db_stats, k)
+    dist, portion, _branch = compute_distances(tree, db_stats, k)
     for i in range(len(tree)):
         yield (f"{i + 1};{int(tree.depth[i])};{tree.names[i]};{tree.rank_name(i) or 'null'};"
                f"{tree.taxids[i]};{db_stats.get(tree.taxids[i], 0)};"

@@ -273,23 +273,40 @@ def _entry_count_bits(e: int) -> int:
 
 
 def lookup_join(rows, q_hi, q_lo, *, nb_bits: int, r_lanes: int = 0,
-                fallback_cap: int = 8192):
+                fallback_cap: int = 8192, axis: str | None = None):
     """Exact scatter-join hash lookup on device; contract == lookup_hash.
 
     rows: [NB, 8] int32; q_hi/q_lo: uint32 query halves, any shape.
     Returns (slot int32 [n_slots where miss], found bool, vidx int32 [-1
     where miss]).
+
+    Sharded-DB mode (`axis` inside shard_map): rows holds only this shard's
+    contiguous bucket range (global buckets [i*NB_local, (i+1)*NB_local));
+    queries must be replicated across the axis. The sort/rank/lane logic is
+    a pure function of the (identical) queries, so every shard computes it
+    identically with zero communication — only the dense-pass compare
+    results and the fallback probes are psum-merged. This is the
+    radix-bits-as-shard-key design of SURVEY.md §5.8 (ref role:
+    store/RadixKMerStore.java:38-88) transplanted onto the quotient hash.
     """
     import jax
     import jax.numpy as jnp
 
+    from genestrip_tpu.ops.scan import assoc_scan_1d, cumsum_1d, running_max_1d
+
     shape = q_hi.shape
-    q_hi = q_hi.reshape(-1)
-    q_lo = q_lo.reshape(-1)
+    q_hi = jax.lax.bitcast_convert_type(q_hi.reshape(-1), jnp.uint32)
+    q_lo = jax.lax.bitcast_convert_type(q_lo.reshape(-1), jnp.uint32)
     Q = q_hi.shape[0]
     E = 2 * Q
     nb = 1 << nb_bits
     vb = nb_bits - 1
+    if axis is None:
+        nb_local = nb
+        bucket_lo = None
+    else:
+        nb_local = rows.shape[0]
+        bucket_lo = jax.lax.axis_index(axis) * nb_local
     if not r_lanes:
         lam = E / nb
         r_lanes = 4 if lam <= 0.5 else (6 if lam <= 1.0 else 8)
@@ -326,37 +343,45 @@ def lookup_join(rows, q_hi, q_lo, *, nb_bits: int, r_lanes: int = 0,
     new_key = (s_b != pb) | (s_h != ph) | (s_w != pw)
     new_bucket = s_b != pb
     pos = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0).reshape(-1)
-    kidx = jnp.cumsum(new_key.astype(jnp.int32))
-    bstart_k = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(new_bucket, kidx, 0))
+    # two-level scans: 1-D scans of this length compile pathologically
+    # slowly on this toolchain (see ops/scan.py)
+    kidx = cumsum_1d(new_key.astype(jnp.int32))
+    bstart_k = running_max_1d(jnp.where(new_bucket, kidx, 0))
     rank = kidx - bstart_k
 
     lane_ok = new_key & (rank < R)
-    tgt = jnp.where(lane_ok, s_b * R + rank, nb * R)
+    if bucket_lo is None:
+        tgt = jnp.where(lane_ok, s_b * R + rank, nb_local * R)
+    else:
+        # scratch lanes only for locally-owned buckets; lane_ok stays the
+        # GLOBAL predicate (identical on every shard) for resolution logic
+        lb = s_b - bucket_lo
+        local_ok = lane_ok & (lb >= 0) & (lb < nb_local)
+        tgt = jnp.where(local_ok, lb * R + rank, nb_local * R)
     # pack (want, pos) into one scratch plane when the bits fit: want has
     # 33 - nb_bits significant bits, pos needs log2(E + 2)
     wbits = 33 - nb_bits
     pbits = _entry_count_bits(E)
     packed = (wbits + pbits) <= 32
-    sc_h = jnp.zeros(nb * R + 1, jnp.int32).at[tgt].set(s_h)
+    sc_h = jnp.zeros(nb_local * R + 1, jnp.int32).at[tgt].set(s_h)
     if packed:
         wp = (s_w << pbits) | pos
-        sc_wp = jnp.full(nb * R + 1, -1, jnp.int32).at[tgt].set(wp)
+        sc_wp = jnp.full(nb_local * R + 1, -1, jnp.int32).at[tgt].set(wp)
         sw2 = jax.lax.bitcast_convert_type(
-            sc_wp[:-1].reshape(nb, R), jnp.uint32)
+            sc_wp[:-1].reshape(nb_local, R), jnp.uint32)
         sw_probe = (sw2 >> jnp.uint32(pbits)).astype(jnp.int32)
         sp2 = (sw2 & jnp.uint32((1 << pbits) - 1)).astype(jnp.int32)
     else:
-        sc_w = jnp.full(nb * R + 1, -1, jnp.int32).at[tgt].set(s_w)
-        sc_p = jnp.zeros(nb * R + 1, jnp.int32).at[tgt].set(pos)
-        sw_probe = sc_w[:-1].reshape(nb, R)
-        sp2 = sc_p[:-1].reshape(nb, R)
-    sh2 = sc_h[:-1].reshape(nb, R)
+        sc_w = jnp.full(nb_local * R + 1, -1, jnp.int32).at[tgt].set(s_w)
+        sc_p = jnp.zeros(nb_local * R + 1, jnp.int32).at[tgt].set(pos)
+        sw_probe = sc_w[:-1].reshape(nb_local, R)
+        sp2 = sc_p[:-1].reshape(nb_local, R)
+    sh2 = sc_h[:-1].reshape(nb_local, R)
 
     # dense pass: [NB, R] scratch lanes vs the 4 slots of each row
-    fnd = jnp.zeros((nb, R), bool)
-    v = jnp.zeros((nb, R), jnp.int32)
-    lane = jnp.zeros((nb, R), jnp.int32)
+    fnd = jnp.zeros((nb_local, R), bool)
+    v = jnp.zeros((nb_local, R), jnp.int32)
+    lane = jnp.zeros((nb_local, R), jnp.int32)
     for j in range(BUCKET):
         kj = rows[:, j][:, None]
         pj = jax.lax.bitcast_convert_type(rows[:, BUCKET + j], jnp.uint32)[:, None]
@@ -368,7 +393,10 @@ def lookup_join(rows, q_hi, q_lo, *, nb_bits: int, r_lanes: int = 0,
         v = jnp.where(first, vj, v)
         lane = jnp.where(first, j, lane)
         fnd = fnd | eqj
-    slot = jax.lax.broadcasted_iota(jnp.int32, (nb, R), 0) * BUCKET + lane
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (nb_local, R), 0)
+    if bucket_lo is not None:
+        bidx = bidx + bucket_lo      # globalize the slot id
+    slot = bidx * BUCKET + lane
 
     # scatter back to entry space
     f_flat = fnd.reshape(-1)
@@ -386,7 +414,8 @@ def lookup_join(rows, q_hi, q_lo, *, nb_bits: int, r_lanes: int = 0,
         def comb(a, b):
             keep = b[0] >= 0
             return (jnp.where(keep, b[0], a[0]), jnp.where(keep, b[1], a[1]))
-        return jax.lax.associative_scan(comb, (run_id, vals))[1]
+        return assoc_scan_1d(comb, (run_id, vals),
+                             (jnp.int32(-1), jnp.int32(0)))[1]
 
     rv_b = seg_copy(rv)
     rs_b = seg_copy(rs)
@@ -397,19 +426,37 @@ def lookup_join(rows, q_hi, q_lo, *, nb_bits: int, r_lanes: int = 0,
         jnp.where(rv_b >= 0, rv_b + 1, 0))
     slot_q = jnp.full(Q, -1, jnp.int32).at[s_q].max(rs_b)
     n_lanes = jnp.zeros(Q, jnp.int32).at[s_q].add(rok_b)
+    if axis is not None:
+        # merge shard partials: at most one shard can find a query, and
+        # n_lanes is already the global predicate (identical everywhere)
+        env = jax.lax.psum(env, axis)
+        slot_q = jax.lax.pmax(slot_q, axis)
     found = env > 0
     vidx = jnp.where(found, env - 1, -1)
     resolved = found | (n_lanes == 2)
 
-    # fallback: compact unresolved to the front (stable), two-gather them
+    def fb_lookup(qh, ql):
+        if axis is None:
+            return lookup_hash(rows, qh, ql, nb_bits=nb_bits)
+        s_, f_, v_ = lookup_hash(rows, qh, ql, nb_bits=nb_bits,
+                                 bucket_lo=bucket_lo)
+        env_ = jax.lax.psum(jnp.where(f_, v_ + 1, 0), axis)
+        sl_ = jax.lax.pmax(jnp.where(f_, s_, -1), axis)
+        f2 = env_ > 0
+        return (jnp.where(f2, sl_, nb * BUCKET), f2,
+                jnp.where(f2, env_ - 1, -1))
+
+    # fallback: compact unresolved to the front (stable), two-gather them.
+    # In sharded mode the compaction order and cond predicate are pure
+    # functions of replicated data, so every shard executes the same branch
+    # and the psums inside line up.
     n_unres = jnp.sum((~resolved).astype(jnp.int32))
     sk, sq2 = jax.lax.sort((resolved.astype(jnp.int32), qid), num_keys=1)
     fb_idx = sq2[:FB]
 
     def fb_partial(args):
         found, vidx, slot_q = args
-        s_fb, f_fb, v_fb = lookup_hash(rows, q_hi[fb_idx], q_lo[fb_idx],
-                                       nb_bits=nb_bits)
+        s_fb, f_fb, v_fb = fb_lookup(q_hi[fb_idx], q_lo[fb_idx])
         # overwrite the slice (resolved entries in it get identical values)
         found = found.at[fb_idx].set(f_fb)
         vidx = vidx.at[fb_idx].set(v_fb)
@@ -417,7 +464,7 @@ def lookup_join(rows, q_hi, q_lo, *, nb_bits: int, r_lanes: int = 0,
         return found, vidx, slot_q
 
     def fb_full(args):
-        s_all, f_all, v_all = lookup_hash(rows, q_hi, q_lo, nb_bits=nb_bits)
+        s_all, f_all, v_all = fb_lookup(q_hi, q_lo)
         return f_all, v_all, jnp.where(f_all, s_all, -1)
 
     found, vidx, slot_q = jax.lax.cond(
@@ -431,8 +478,12 @@ def lookup_join(rows, q_hi, q_lo, *, nb_bits: int, r_lanes: int = 0,
 # device lookup — two-gather (fallback + small-Q path)
 # ---------------------------------------------------------------------------
 
-def lookup_hash(rows, q_hi, q_lo, *, nb_bits: int):
+def lookup_hash(rows, q_hi, q_lo, *, nb_bits: int, bucket_lo=None):
     """Two-gather exact hash lookup on device.
+
+    With `bucket_lo` (sharded-DB mode), rows holds only the local bucket
+    range; probes of non-local buckets report not-found and the caller
+    merges shard partials (see lookup_join).
 
     rows: [NB, 8] int32; q_hi/q_lo: uint32 query halves, any shape.
     Returns (slot int32, found bool, vidx int32); slot is the stable k-mer
@@ -448,8 +499,8 @@ def lookup_hash(rows, q_hi, q_lo, *, nb_bits: int):
     import jax.numpy as jnp
 
     shape = q_hi.shape
-    q_hi = q_hi.reshape(-1)
-    q_lo = q_lo.reshape(-1)
+    q_hi = jax.lax.bitcast_convert_type(q_hi.reshape(-1), jnp.uint32)
+    q_lo = jax.lax.bitcast_convert_type(q_lo.reshape(-1), jnp.uint32)
 
     def mix(x, c):
         x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(c)
@@ -468,10 +519,19 @@ def lookup_hash(rows, q_hi, q_lo, *, nb_bits: int):
     g = ((g ^ (g >> jnp.uint32(15))) & mask) | jnp.uint32(1)
     b2 = b1 ^ g.astype(jnp.int32)
 
-    r1 = rows[b1]                      # [Q, 8]
-    r2 = rows[b2]
+    if bucket_lo is None:
+        r1 = rows[b1]                      # [Q, 8]
+        r2 = rows[b2]
+        own1 = own2 = None
+    else:
+        nb_local = rows.shape[0]
+        lb1, lb2 = b1 - bucket_lo, b2 - bucket_lo
+        own1 = (lb1 >= 0) & (lb1 < nb_local)
+        own2 = (lb2 >= 0) & (lb2 < nb_local)
+        r1 = rows[jnp.clip(lb1, 0, nb_local - 1)]
+        r2 = rows[jnp.clip(lb2, 0, nb_local - 1)]
 
-    def probe(r, choice):
+    def probe(r, choice, own):
         want_hi = (rem2 << jnp.uint32(1)) | jnp.uint32(choice)
         f = jnp.zeros(h2.shape, bool)
         lane = jnp.zeros(h2.shape, jnp.int32)
@@ -485,10 +545,12 @@ def lookup_hash(rows, q_hi, q_lo, *, nb_bits: int):
             lane = jnp.where(first, j, lane)
             v = jnp.where(first, vj, v)
             f = f | eqj
+        if own is not None:
+            f = f & own
         return f, lane, v.astype(jnp.int32)
 
-    f1, l1_, v1 = probe(r1, 0)
-    f2, l2_, v2 = probe(r2, 1)
+    f1, l1_, v1 = probe(r1, 0, own1)
+    f2, l2_, v2 = probe(r2, 1, own2)
     found = f1 | f2
     bucket = jnp.where(f1, b1, b2)
     lane = jnp.where(f1, l1_, l2_)

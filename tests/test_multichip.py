@@ -133,3 +133,45 @@ def test_sharded_unique_counts_merge(tmp_path):
     u8 = m8._unique_per_node()
     np.testing.assert_array_equal(u1, u8)
     assert int(u8.sum()) > 0
+
+
+def test_sharded_db_equals_single(tmp_path):
+    """Sharded-DB mode (hash rows bucket-range-sharded over the mesh,
+    lookup shard partials psum-merged) must equal single-device results
+    for every output (SURVEY §5.8; ref role RadixKMerStore.java:38-88)."""
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(21)
+    table, tree, genomes = build_world(tmp_path, rng)
+    reads = _reads(rng, genomes)
+    cfg = MatchConfig(k=K)
+    fq = _mk_fastq(tmp_path, reads)
+
+    def run(devices, shard_db):
+        m = Matcher(table, tree, cfg, batch_size=64, devices=devices,
+                    shard_db=shard_db)
+        kraken = io.BytesIO()
+        filtered = io.BytesIO()
+        res = m.run([fq], filtered_out=filtered, kraken_out=kraken)
+        return m, res, kraken.getvalue(), filtered.getvalue()
+
+    m1, r1, ko1, fo1 = run([jax.devices()[0]], False)
+    ms, rs, kos, fos = run(None, "on")
+    assert ms.shard_db and ms._mesh is not None
+    # the sharded rows really are distributed: each device holds 1/8
+    assert ms._rows.sharding.shard_shape(ms._rows.shape)[0] == \
+        ms._rows.shape[0] // 8
+
+    np.testing.assert_array_equal(m1.kmers, ms.kmers)
+    np.testing.assert_array_equal(m1.contigs, ms.contigs)
+    np.testing.assert_array_equal(m1.contig_sq, ms.contig_sq)
+    np.testing.assert_array_equal(m1.reads1, ms.reads1)
+    np.testing.assert_array_equal(m1.max_contig, ms.max_contig)
+    assert m1.max_contig_desc == ms.max_contig_desc
+    np.testing.assert_array_equal(m1.reads, ms.reads)
+    np.testing.assert_array_equal(m1.reads_kmers, ms.reads_kmers)
+    np.testing.assert_array_equal(m1._unique_per_node(), ms._unique_per_node())
+    assert ko1 == kos
+    assert fo1 == fos
+    s1 = {t: vars(c) for t, c in r1.taxid2stats.items()}
+    ss = {t: vars(c) for t, c in rs.taxid2stats.items()}
+    assert s1 == ss
