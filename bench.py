@@ -239,15 +239,23 @@ def main():
     t_compile = time.time() - t0
 
     # ---- 4 (measure now, emit last). device pipeline -------------------
-    t0 = time.time()
+    # Block every step: over the axon tunnel, dozens of queued async
+    # dispatches (each with ~14 output buffers) serialize pathologically —
+    # blocking per step measures actual device throughput (probe
+    # scripts/probe_r4_benchworld.py: 0.3 ms/step blocked vs 0.76 s/step
+    # when 64 steps pile up unblocked). Best of `reps` passes is reported.
+    rps = 0.0
     cls = 0
-    for i in range(n_batches):
-        out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
-                         staged_d[i], lengths, bounds, seen, counts)
-        seen, counts = out["seen"], out["counts"]
+    for _ in range(2):
+        t0 = time.time()
+        for i in range(n_batches):
+            out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
+                             staged_d[i], lengths, bounds, seen, counts)
+            seen, counts = out["seen"], out["counts"]
+            jax.block_until_ready(out["class_node"])
+        dt = time.time() - t0
+        rps = max(rps, n_batches * B / dt)
     cls = int(jnp.sum((out["class_node"] >= 0).astype(jnp.int32)))
-    dt = time.time() - t0
-    rps = n_batches * B / dt
 
     # ---- 3. end-to-end from a gzip fastq on disk -----------------------
     if not args.skip_e2e:
