@@ -29,25 +29,65 @@ from genestrip_tpu.utils.dna import BAD
 # Host (numpy, uint64) — golden model + DB-build path
 # ---------------------------------------------------------------------------
 
+def _bitrev_groups_u64(x: np.ndarray) -> np.ndarray:
+    """Reverse the order of the 32 2-bit groups of each uint64 (in place safe)."""
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = ((x & m2) << np.uint64(2)) | ((x >> np.uint64(2)) & m2)
+    x = ((x & m4) << np.uint64(4)) | ((x >> np.uint64(4)) & m4)
+    return x.byteswap()
+
+
 def window_kmers_np(codes: np.ndarray, k: int):
     """All-window canonical k-mers of a 1-D code array (host side).
 
     Returns (canonical uint64 [W], valid bool [W]) with W = max(L - k + 1, 0).
     valid[i] is False iff window i contains a non-CGAT base.
+
+    Implementation: 2-bit codes are packed into uint64 words (32 bases/word,
+    base i at bit 2*(i%32) of word i//32); each window's 64-bit little-endian
+    slice is two word fetches + a variable shift, from which the straight
+    k-mer is a 2-bit-group reversal and the reverse complement a XOR — ~10
+    vector ops total instead of the former k-iteration shifted-OR loop
+    (ref semantics: core util/CGAT.java kMerToLongStraight/Reverse).
     """
     L = len(codes)
     W = max(L - k + 1, 0)
     if W == 0:
         return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=bool)
-    c = codes.astype(np.uint64)
+    # pack pairwise in uint8 (2 bases -> 4 bits -> 1 byte = 4 bases), then
+    # view the little-endian byte stream directly as uint64 words — no wide
+    # temporary and no reduction
+    n_words = (L + 31) // 32 + 1          # +1 pad word for q+1 fetches
+    cpad = np.zeros(n_words * 32, np.uint8)
+    np.bitwise_and(codes, 3, out=cpad[:L])
+    b0 = cpad[0::2] | (cpad[1::2] << 2)
+    b1 = b0[0::2] | (b0[1::2] << 4)
+    words = b1.view(np.uint64)
+
+    # index vectors via tile/repeat of the 32-periodic pattern (measured ~10x
+    # cheaper than arange + mask/shift temporaries at this size)
+    nq = (W + 31) >> 5
+    q = np.repeat(np.arange(nq, dtype=np.intp), 32)[:W]
+    r = np.tile(np.arange(0, 64, 2, dtype=np.uint64), nq)[:W]
+    lo = words.take(q)
+    lo >>= r
+    # (w << 1) << (63 - r) == w << (64 - r), giving 0 at r == 0 without a where
+    q += 1                                 # pad word guarantees q+1 in range
+    hi = words.take(q)
+    hi <<= np.uint64(1)
+    np.subtract(np.uint64(63), r, out=r)
+    hi <<= r
+    v = lo
+    v |= hi                                # base i+t at bits [2t, 2t+2)
+
+    straight = _bitrev_groups_u64(v) >> np.uint64(64 - 2 * k)
+    mask_2k = np.uint64((1 << (2 * k)) - 1)
+    comp = np.uint64(0x5555555555555555) & mask_2k
+    reverse = (v & mask_2k) ^ comp
+
     bad = codes > 3
-    straight = np.zeros(W, dtype=np.uint64)
-    reverse = np.zeros(W, dtype=np.uint64)
-    for j in range(k):
-        cj = c[j:j + W] & np.uint64(3)
-        straight |= cj << np.uint64(2 * (k - 1 - j))
-        reverse |= (cj ^ np.uint64(1)) << np.uint64(2 * j)
-    cc = np.zeros(L + 1, dtype=np.int64)
+    cc = np.zeros(L + 1, dtype=np.int32)
     np.cumsum(bad, out=cc[1:])
     valid = (cc[k:] - cc[:W]) == 0
     return np.maximum(straight, reverse), valid
