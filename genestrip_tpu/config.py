@@ -149,6 +149,11 @@ _KEYS = [
     Key("dbShard", "str", "auto"),
     Key("dbShardMinBytes", "int", 4 << 30, 1),
     Key("dbBuildChunkKMers", "int", 1 << 24, 1 << 16),
+    # run the LCA update phase's chunk search + value rewrite on device via
+    # the production scatter-join lookup ("auto": only when the measured d2h
+    # link bandwidth can absorb the final value-vector pull; tunneled dev
+    # chips stay on the host path)
+    Key("dbDeviceUpdate", "str", "auto"),
 ]
 
 KEYS: dict[str, Key] = {k.name: k for k in _KEYS}

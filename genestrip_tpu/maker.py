@@ -322,7 +322,8 @@ class GSMaker:
         opts = self._build_opts(update=True)
         amap = accmap_goal.get() if p["refseq.filldb"] else None
         updater = dbbuild.DBUpdater(tree, filled.table, tax_nodes, amap, opts,
-                                    chunk_kmers=p["dbBuildChunkKMers"])
+                                    chunk_kmers=p["dbBuildChunkKMers"],
+                                    device_update=p["dbDeviceUpdate"])
         files, additional = self._db_input_files(categories, refseqfna, additional)
         items = ([(f, None) for f in files]
                  + [(f, node) for f, node in additional.items()])

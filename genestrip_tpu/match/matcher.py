@@ -17,7 +17,8 @@ from genestrip_tpu.io.reads import (
 )
 from genestrip_tpu.io.streams import Progress, StreamingResource
 from genestrip_tpu.match.pipeline import (
-    LABEL_INVALID, LABEL_MISS, MatchConfig, error_bounds, match_step,
+    LABEL_INVALID, LABEL_MISS, MatchConfig, error_bounds, match_accum_step,
+    match_step, node_state_init,
 )
 from genestrip_tpu.match.results import CountsPerTaxid, MatchingResult
 from genestrip_tpu.store.table import KmerTable
@@ -132,6 +133,65 @@ class Matcher:
         self.total_bps = 0
         self._seen, self._counts = mesh_mod.unique_state(
             N, self._mesh, self.cfg.with_counts)
+        # device node-statistic accumulators (drained every few batches; the
+        # int32 contig^2 budget decides when) + descriptor ring for resolving
+        # max-contig achievers at drain time
+        self._nstate = (mesh_mod.node_state_sharded(T, self._mesh)
+                        if self._mesh is not None else node_state_init(T))
+        self._ws_budget = 0
+        self._batch_no = 0
+        self._ring: dict[int, tuple] = {}
+
+    # ------------------------------------------------------------------
+    # device node-accumulator drain
+
+    _WS_CAP = 2**31 - 1
+
+    def _drain(self):
+        """Pull + fold the device node accumulators into the host arrays,
+        resolve max-contig achiever descriptors from the batch ring, and
+        reset the device state (additive parts zeroed; the max-contig trio
+        re-seeded from the host so the strict-> fold keeps first-achiever
+        semantics across drains and host-side long-read updates)."""
+        if not self._ring:
+            return          # nothing folded since the last drain
+        if self._mesh is not None:
+            d = mesh_mod.drain_node_state(self._nstate)
+        else:
+            d = {k: np.asarray(v) for k, v in self._nstate.items()}
+        self.kmers += d["kmers"].astype(np.int64)
+        self.contigs += d["contigs"].astype(np.int64)
+        self.contig_sq += d["contig_sq"].astype(np.int64)
+        self.reads1 += d["reads1"].astype(np.int64)
+        mc_len, mc_enc, mc_bno = d["mc_len"], d["mc_enc"], d["mc_bno"]
+        improved = (mc_bno >= 0) & (mc_len.astype(np.int64) > self.max_contig)
+        for t in np.nonzero(improved)[0]:
+            t = int(t)
+            descriptors, read_no0, res_idx, W = self._ring[int(mc_bno[t])]
+            b = int(mc_enc[t]) // W
+            desc = descriptors[b]
+            sp = desc.find(b" ")
+            self.max_contig[t] = int(mc_len[t])
+            self.max_contig_desc[t] = desc[1:sp if sp >= 0 else len(desc)]
+            self.max_contig_src[t] = (res_idx << 40) | (read_no0 + b)
+        self._ring.clear()
+        self._ws_budget = 0
+        # reset device state: zero adds, seed mc_len from host, mark resolved
+        T = self.n_nodes
+        seed = node_state_init(T)
+        seed["mc_len"] = jnp.asarray(
+            np.minimum(self.max_contig, 2**31 - 1).astype(np.int32))
+        seed["mc_bno"] = jnp.full(T, -1, jnp.int32)
+        if self._mesh is not None:
+            n_dev = self._n_dev
+            sh = NamedSharding(self._mesh, P("reads"))
+            self._nstate = {
+                k: jax.device_put(
+                    np.broadcast_to(np.asarray(v), (n_dev,) + v.shape).copy(),
+                    sh)
+                for k, v in seed.items()}
+        else:
+            self._nstate = seed
 
     # ------------------------------------------------------------------
 
@@ -185,7 +245,8 @@ class Matcher:
         return self._build_result()
 
     def _dispatch_batch(self, batch: ReadBatch, need_labels: bool):
-        """Pack + enqueue the device step; returns the (async) output dict."""
+        """Pack + enqueue the accumulating device step; returns the (async)
+        (packed [B, 2] per-read output, label|None)."""
         cfg = self.cfg
         need_labels = need_labels or cfg.return_labels
         if need_labels != cfg.return_labels:
@@ -202,27 +263,40 @@ class Matcher:
             codes = np.concatenate(
                 [codes, np.full((pad, codes.shape[1]), 255, np.uint8)])
             lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+        B, L = codes.shape
+        W = L - cfg.k + 1
+        if self._ws_budget + B * W * W > self._WS_CAP:
+            self._drain()          # keep the int32 contig^2 accumulator exact
         bounds = error_bounds(lengths, cfg.k, cfg)
+        bno = self._batch_no
         if self._mesh is not None:
-            step = self._sharded_steps.get(cfg)
+            step = self._sharded_steps.get(("acc", cfg))
             if step is None:
-                step = mesh_mod.make_sharded_match_step(
+                step = mesh_mod.make_sharded_accum_step(
                     self._mesh, cfg, self._spec, self.n_nodes,
                     shard_db=self.shard_db)
-                self._sharded_steps[cfg] = step
-            codes_d = jax.device_put(codes, self._batch_sharding)
-            lengths_d = jax.device_put(lengths, self._batch_sharding)
-            bounds_d = jax.device_put(bounds, self._batch_sharding)
-            out = step(self._rows, self._vaux, self._anc,
-                       codes_d, lengths_d, bounds_d, self._seen, self._counts)
+                self._sharded_steps[("acc", cfg)] = step
+            res = step(self._rows, self._vaux, self._anc,
+                       jax.device_put(codes, self._batch_sharding),
+                       jax.device_put(lengths, self._batch_sharding),
+                       jax.device_put(bounds, self._batch_sharding),
+                       self._seen, self._counts, self._nstate,
+                       jnp.int32(bno))
+            packed, label = res["packed"], res.get("label")
+            self._seen, self._counts = res["seen"], res["counts"]
+            self._nstate = res["nstate"]
         else:
-            out = match_step(cfg, self._spec, self.n_nodes,
-                             self._rows, self._vaux, self._anc,
-                             jnp.asarray(codes), jnp.asarray(lengths),
-                             jnp.asarray(bounds), self._seen, self._counts)
-        self._seen = out["seen"]
-        self._counts = out["counts"]
-        return out
+            packed, label, self._seen, self._counts, self._nstate = \
+                match_accum_step(cfg, self._spec, self.n_nodes,
+                                 self._rows, self._vaux, self._anc,
+                                 jnp.asarray(codes), jnp.asarray(lengths),
+                                 jnp.asarray(bounds), self._seen,
+                                 self._counts, self._nstate, jnp.int32(bno))
+        self._ring[bno] = (batch.descriptors, batch.read_no0,
+                           self._res_idx, W)
+        self._batch_no = bno + 1
+        self._ws_budget += B * W * W
+        return packed, label
 
     def _match_long_read(self, batch: ReadBatch, filtered_out, kraken_out):
         """Match one long read in fixed-window chunks (classification off).
@@ -233,6 +307,10 @@ class Matcher:
         host from the concatenated label row, so runs spanning chunk
         boundaries merge exactly as in the unchunked case
         (ref FastqKMerMatcher.java:390-420; SURVEY.md §5.7)."""
+        # drain device node accumulators first: the long-read path updates
+        # the host arrays directly, and max-contig first-achiever ordering
+        # needs the host state current before comparing
+        self._drain()
         cfg, k = self.cfg, self.cfg.k
         n = int(batch.lengths[0])
         seq_codes = batch.codes[0, :n]
@@ -328,46 +406,36 @@ class Matcher:
                              b"\t" + b" ".join(segs) + b"\n")
 
     def _finalize_batch(self, batch: ReadBatch, out, filtered_out, kraken_out):
+        """Unpack ONE [B, 2] int32 per-read transfer (see pipeline
+        pack_per_read) and accumulate the host-side per-read statistics in
+        read order (ref :508-530); per-node statistics stay on device until
+        the next drain."""
         cfg = self.cfg
+        packed, label = out
         n_real = batch.n
-        W = batch.codes.shape[1] - cfg.k + 1
-        n_win = np.asarray(out["n_win"])
-        found = np.asarray(out["found"])
+        pk = np.asarray(packed)[:n_real]
+        cls = pk[:, 0]
+        w1 = pk[:, 1].view(np.uint32)
+        found = (w1 >> 31) != 0
+        stats_ok = ((w1 >> 30) & 1) != 0
+        tax_err = ((w1 >> 15) & 0x7FFF).astype(np.int64)
+        read_kmers = (w1 & 0x7FFF).astype(np.int64)
+        n_win = np.maximum(batch.lengths.astype(np.int64) - (cfg.k - 1), 0)
 
         # totals (ref: AbstractFastqReader.doReadFastq:343-349)
         self.total_reads += n_real
         self.total_kmers += int(n_win.sum())
         self.total_bps += int(batch.lengths.sum())
 
-        # per-node window/contig stats
-        self.kmers += np.asarray(out["kmers"], np.int64)
-        self.contigs += np.asarray(out["contigs"], np.int64)
-        self.contig_sq += np.asarray(out["contig_sq"]).astype(np.int64).sum(axis=0)
-        self.reads1 += np.asarray(out["reads1"], np.int64)
-        bmax = np.asarray(out["max_contig"], np.int64)
-        benc = np.asarray(out["argmax_enc"])
-        improved = bmax > self.max_contig
-        for t in np.nonzero(improved)[0]:
-            self.max_contig[t] = bmax[t]
-            b = int(benc[t]) // W
-            desc = batch.descriptors[b]
-            # descriptor up to the first space, without the leading '@'
-            # (ref: FastqKMerMatcher.java:404-408)
-            sp = desc.find(b" ")
-            self.max_contig_desc[t] = desc[1:sp if sp >= 0 else len(desc)]
-            self.max_contig_src[t] = ((self._res_idx << 40)
-                                      | (batch.read_no0 + b))
-
         # per-read classified stats, in read order (ref :508-530)
         if cfg.classify:
-            cls = np.asarray(out["class_node"])
-            ok = np.asarray(out["stats_ok"]) & (cls >= 0)
+            ok = stats_ok & (cls >= 0)
             idx = np.nonzero(ok)[0]
             if len(idx):
                 nodes = cls[idx]
                 nw = n_win[idx].astype(np.float64)
-                err = np.asarray(out["tax_err"])[idx].astype(np.float64) / nw
-                rk = np.asarray(out["read_kmers"])[idx].astype(np.int64)
+                err = tax_err[idx] / nw
+                rk = read_kmers[idx]
                 cerr = (n_win[idx] - rk) / nw
                 np.add.at(self.reads, nodes, 1)
                 np.add.at(self.reads_kmers, nodes, rk)
@@ -392,8 +460,8 @@ class Matcher:
                 filtered_out.write(b"\n")
 
         if kraken_out is not None:
-            self._write_kraken(batch, np.asarray(out["label"]), n_win,
-                               np.asarray(out["class_node"]), kraken_out)
+            self._write_kraken(batch, np.asarray(label)[:n_real], n_win,
+                               cls, kraken_out)
 
     def _write_kraken(self, batch: ReadBatch, labels, n_win, class_node, out):
         """Kraken-style output lines (ref: FastqKMerMatcher.printKrakenStyleOut
@@ -483,6 +551,7 @@ class Matcher:
         self._counts = g["counts"].sum(axis=0)
 
     def _build_result(self) -> MatchingResult:
+        self._drain()
         if dist.process_count() > 1:
             self._merge_across_processes()
         tree = self.tree

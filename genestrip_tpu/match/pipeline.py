@@ -82,7 +82,17 @@ def _attach_aux(vaux, idx, n_planes: int):
     Q = idx.shape[0]
     V = vaux.shape[0]
     qid = jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0).reshape(-1)
-    s_i, s_q = jax.lax.sort((idx, qid), num_keys=1)
+    vbits = max(int(np.ceil(np.log2(V + 1))), 1)
+    qbits = max(int(np.ceil(np.log2(Q + 1))), 1)
+    if vbits + qbits <= 31:
+        # single-operand sort: the packed key orders by (idx, qid) exactly —
+        # a 1-operand 1-D sort compiles and runs measurably cheaper than a
+        # 2-operand one at ~1M elements on this toolchain
+        s_p = jax.lax.sort((idx << qbits) | qid)
+        s_i = s_p >> qbits
+        s_q = s_p & ((1 << qbits) - 1)
+    else:
+        s_i, s_q = jax.lax.sort((idx, qid), num_keys=1)
     pos = qid                      # iota again (same shape)
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_i[:-1]])
     new = s_i != prev
@@ -522,3 +532,85 @@ def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
     out["tax_err"] = tax_err
     out["stats_ok"] = stats_ok
     return out
+
+
+# ---------------------------------------------------------------------------
+# accumulating step — ONE device->host transfer per batch
+# ---------------------------------------------------------------------------
+#
+# Pulling the raw match_step output dict costs ~12 separate device->host
+# transfers per batch; on a real host that is 12 transfer latencies, and over
+# the axon tunnel (d2h ~0.1 MB/s, ~25 ms RTT — measured) it dominates end to
+# end. The accumulating step keeps every per-NODE statistic in donated device
+# state (drained every few batches; the drain interval bounds int32 overflow
+# of the contig^2 sums) and packs the per-READ results into one [B, 2] int32
+# array:
+#   word0 = class_node
+#   word1 = found<<31 | stats_ok<<30 | tax_err<<15 | read_kmers
+# (tax_err and read_kmers are < n_win <= the long-read threshold < 2^15).
+# Per-read float error accumulation stays on the host in read order, which
+# preserves the reference's exact double-sum semantics
+# (ref CountsPerTaxid/ResultReporter formatting).
+
+def node_state_init(n_nodes: int):
+    """Initial per-node accumulator state (one leading [T] vector each)."""
+    import jax.numpy as jnp
+    T = n_nodes
+    return {
+        "kmers": jnp.zeros(T, jnp.int32),
+        "contigs": jnp.zeros(T, jnp.int32),
+        "contig_sq": jnp.zeros(T, jnp.int32),
+        "reads1": jnp.zeros(T, jnp.int32),
+        "mc_len": jnp.zeros(T, jnp.int32),
+        "mc_enc": jnp.zeros(T, jnp.int32),
+        "mc_bno": jnp.full(T, -1, jnp.int32),
+    }
+
+
+def contig_sq_drain_every(B: int, W: int) -> int:
+    """Batches between drains keeping the int32 contig^2 accumulator exact."""
+    per_batch = B * W * W
+    return max(1, (2**31 - 1) // max(per_batch, 1))
+
+
+def fold_node_state(state, out, batch_no):
+    """Fold one match_step output into the node accumulators (device)."""
+    import jax.numpy as jnp
+    new = {
+        "kmers": state["kmers"] + out["kmers"],
+        "contigs": state["contigs"] + out["contigs"],
+        "contig_sq": state["contig_sq"] + jnp.sum(out["contig_sq"], axis=0),
+        "reads1": state["reads1"] + out["reads1"],
+    }
+    # strict > keeps the earliest batch's achiever on ties, matching the
+    # host-side per-batch fold (ref FastqKMerMatcher.java:404-408)
+    better = out["max_contig"] > state["mc_len"]
+    new["mc_len"] = jnp.where(better, out["max_contig"], state["mc_len"])
+    new["mc_enc"] = jnp.where(better, out["argmax_enc"], state["mc_enc"])
+    new["mc_bno"] = jnp.where(better, batch_no, state["mc_bno"])
+    return new
+
+
+def pack_per_read(out):
+    import jax.numpy as jnp
+    w1 = (jnp.where(out["found"], jnp.int32(-(1 << 31)), 0)
+          | jnp.where(out["stats_ok"], jnp.int32(1 << 30), 0)
+          | (jnp.minimum(out["tax_err"], (1 << 15) - 1) << 15)
+          | jnp.minimum(out["read_kmers"], (1 << 15) - 1))
+    return jnp.stack([out["class_node"], w1], axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "spec", "n_nodes"),
+                   donate_argnames=("seen", "counts", "nstate"))
+def match_accum_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
+                     rows, vaux, anc, codes, lengths, err_bounds,
+                     seen, counts, nstate, batch_no):
+    """match_step + device-side accumulation; returns
+    (per_read [B, 2] i32, label or None, seen, counts, nstate)."""
+    out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
+                     codes, lengths, err_bounds, seen, counts)
+    nstate = fold_node_state(nstate, out, batch_no)
+    packed = pack_per_read(out)
+    label = out["label"] if cfg.return_labels else None
+    return packed, label, out["seen"], out["counts"], nstate

@@ -29,7 +29,10 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from genestrip_tpu.match.pipeline import MatchConfig, TableSpec, match_step
+from genestrip_tpu.match.pipeline import (
+    MatchConfig, TableSpec, fold_node_state, match_step, node_state_init,
+    pack_per_read,
+)
 
 # outputs that are per-node vectors and must be summed across shards
 _PSUM_OUTS = ("contigs", "kmers", "reads1")
@@ -115,6 +118,91 @@ def make_sharded_match_step(mesh: Mesh, cfg: MatchConfig, spec: TableSpec,
         fn = shard_map(local_step, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_rep=False)
     return jax.jit(fn, donate_argnums=(6, 7))
+
+
+def make_sharded_accum_step(mesh: Mesh, cfg: MatchConfig, spec: TableSpec,
+                            n_nodes: int, axis: str = "reads",
+                            shard_db: bool = False):
+    """Accumulating data-parallel step: ONE sharded per-read output per batch.
+
+    Same sharding contract as make_sharded_match_step, plus a donated
+    per-shard node-accumulator state (see pipeline.node_state_init): additive
+    statistics accumulate as per-shard partials (summed host-side at drain —
+    no per-step psum traffic), while the max-contig achiever is globalized
+    per step (pmax/pmin over [T]) so every shard's accumulator holds the
+    identical global best with a globally-offset (read, window) encoding.
+
+    fn(rows, vaux, anc, codes, lengths, bounds, seen, counts, nstate,
+       batch_no) -> (packed [B, 2], label|None, seen, counts, nstate)
+    """
+    def local_step(rows, vaux, anc, codes, lengths, err_bounds,
+                   seen, counts, nstate, batch_no):
+        B_local, L = codes.shape
+        W = L - cfg.k + 1
+        out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
+                         codes, lengths, err_bounds, seen[0], counts[0],
+                         db_axis=axis if shard_db else None)
+        idx = jax.lax.axis_index(axis)
+        big = jnp.iinfo(jnp.int32).max
+        gmax = jax.lax.pmax(out["max_contig"], axis)
+        enc = jnp.where((out["max_contig"] == gmax)
+                        & (out["argmax_enc"] != big),
+                        out["argmax_enc"] + idx * (B_local * W), big)
+        out2 = dict(out)
+        out2["max_contig"] = gmax
+        out2["argmax_enc"] = jax.lax.pmin(enc, axis)
+        ns = fold_node_state({k: v[0] for k, v in nstate.items()}, out2,
+                             batch_no)
+        packed = pack_per_read(out)
+        res = {"packed": packed,
+               "seen": out["seen"][None], "counts": out["counts"][None],
+               "nstate": {k: v[None] for k, v in ns.items()}}
+        if cfg.return_labels:
+            res["label"] = out["label"]
+        return res
+
+    repl = P()
+    rows_spec = P(axis) if shard_db else repl
+    in_specs = (rows_spec, repl, repl,
+                P(axis), P(axis), P(axis),
+                P(axis), P(axis),
+                {k: P(axis) for k in node_state_init(1)}, repl)
+    out_specs = {"packed": P(axis), "seen": P(axis), "counts": P(axis),
+                 "nstate": {k: P(axis) for k in node_state_init(1)}}
+    if cfg.return_labels:
+        out_specs["label"] = P(axis)
+    try:
+        fn = shard_map(local_step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    except TypeError:  # older jax: check_rep instead of check_vma
+        fn = shard_map(local_step, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_rep=False)
+    return jax.jit(fn, donate_argnums=(6, 7, 8))
+
+
+def node_state_sharded(n_nodes: int, mesh: Mesh, axis: str = "reads"):
+    """Per-shard stacked node accumulators ([n_dev, T] each)."""
+    n_dev = mesh.shape[axis]
+    sh = NamedSharding(mesh, P(axis))
+    base = node_state_init(n_nodes)
+    return {k: jax.device_put(np.broadcast_to(np.asarray(v), (n_dev,) + v.shape).copy(), sh)
+            for k, v in base.items()}
+
+
+def drain_node_state(nstate) -> dict:
+    """Pull + merge node accumulators to host numpy (sum partials across
+    shards; the max-contig trio is replicated — take shard 0)."""
+    out = {}
+    for k, v in nstate.items():
+        a = np.asarray(v)
+        if a.ndim == 2:
+            if k in ("mc_len", "mc_enc", "mc_bno"):
+                out[k] = a[0]
+            else:
+                out[k] = a.sum(axis=0, dtype=np.int64)
+        else:
+            out[k] = a.astype(np.int64) if k not in ("mc_len", "mc_enc", "mc_bno") else a
+    return out
 
 
 def unique_state(n_table: int, mesh: Mesh | None, with_counts: bool,

@@ -335,7 +335,18 @@ def lookup_join(rows, q_hi, q_lo, *, nb_bits: int, r_lanes: int = 0,
     qid = jax.lax.broadcasted_iota(jnp.int32, (Q, 1), 0).reshape(-1)
     e_q = jnp.concatenate([qid, qid])
 
-    s_b, s_h, s_w, s_q = jax.lax.sort((e_b, e_h, e_w, e_q), num_keys=3)
+    # entry sort groups identical (bucket, h2, want) triples; the entry id
+    # rides along. Packing (want, id) into one lane drops an operand from
+    # the big 1-D sort — the dominant compile-time cost of this graph.
+    wbits = 33 - nb_bits
+    ebits = _entry_count_bits(E)
+    if wbits + ebits <= 31:
+        wq = (e_w << ebits) | e_q
+        s_b, s_h, s_wq = jax.lax.sort((e_b, e_h, wq), num_keys=3)
+        s_w = s_wq >> ebits
+        s_q = s_wq & ((1 << ebits) - 1)
+    else:
+        s_b, s_h, s_w, s_q = jax.lax.sort((e_b, e_h, e_w, e_q), num_keys=3)
 
     pb = jnp.concatenate([jnp.full((1,), -1, jnp.int32), s_b[:-1]])
     ph = jnp.concatenate([jnp.full((1,), 0, jnp.int32), s_h[:-1]])
@@ -451,8 +462,9 @@ def lookup_join(rows, q_hi, q_lo, *, nb_bits: int, r_lanes: int = 0,
     # functions of replicated data, so every shard executes the same branch
     # and the psums inside line up.
     n_unres = jnp.sum((~resolved).astype(jnp.int32))
-    sk, sq2 = jax.lax.sort((resolved.astype(jnp.int32), qid), num_keys=1)
-    fb_idx = sq2[:FB]
+    qbits = max(int(np.ceil(np.log2(Q + 1))), 1)
+    comp = jax.lax.sort((resolved.astype(jnp.int32) << qbits) | qid)
+    fb_idx = (comp & ((1 << qbits) - 1))[:FB]
 
     def fb_partial(args):
         found, vidx, slot_q = args
