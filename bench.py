@@ -260,6 +260,7 @@ def main():
     # ---- 3. end-to-end from a gzip fastq on disk -----------------------
     if not args.skip_e2e:
         import tempfile
+        from genestrip_tpu.io.reads import BatchPacker, parse_fastq_blocks
         from genestrip_tpu.match.matcher import Matcher
         qual = b"I" * args.read_len
         dev0 = jax.local_devices()[:1]
@@ -281,6 +282,19 @@ def main():
                         recs.append(qual)
                         recs.append(b"\n")
                     f.write(b"".join(recs))
+            # 3a. host input pipeline alone (gzip -> parse -> packed batches);
+            # this is the host-side ceiling a local-link chip would see
+            # (ref producer contract: fastq/AbstractFastqReader.java:88-185)
+            t0 = time.time()
+            n_parsed = 0
+            packer = BatchPacker(B)
+            with gzip.open(fq, "rb") as f:
+                for b_ in parse_fastq_blocks(f, packer):
+                    n_parsed += b_.n
+            parse_rps = n_parsed / (time.time() - t0)
+            emit("host input pipeline (gzip fastq -> packed 2-bit batches)",
+                 parse_rps, "reads/s", BASELINE_READS_PER_SEC)
+            # 3b. full pipeline including device round trips
             m = Matcher(table, tree, cfg, batch_size=B, devices=dev0)
             m.progress = False
             t0 = time.time()
@@ -288,7 +302,7 @@ def main():
             dt_e = time.time() - t0
             e2e_rps = m.total_reads / dt_e
         emit("end-to-end classification (gzip fastq -> CSV stats, incl. "
-             "axon-tunnel h2d)", e2e_rps, "reads/s/chip",
+             "axon-tunnel h2d+d2h at ~1 MB/s)", e2e_rps, "reads/s/chip",
              BASELINE_READS_PER_SEC)
 
     if args.verbose:

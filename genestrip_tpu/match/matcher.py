@@ -18,7 +18,7 @@ from genestrip_tpu.io.reads import (
 from genestrip_tpu.io.streams import Progress, StreamingResource
 from genestrip_tpu.match.pipeline import (
     LABEL_INVALID, LABEL_MISS, MatchConfig, error_bounds, match_accum_step,
-    match_step, node_state_init,
+    match_step, node_state_init, unpack_per_read_np,
 )
 from genestrip_tpu.match.results import CountsPerTaxid, MatchingResult
 from genestrip_tpu.store.table import KmerTable
@@ -414,12 +414,9 @@ class Matcher:
         packed, label = out
         n_real = batch.n
         pk = np.asarray(packed)[:n_real]
-        cls = pk[:, 0]
-        w1 = pk[:, 1].view(np.uint32)
-        found = (w1 >> 31) != 0
-        stats_ok = ((w1 >> 30) & 1) != 0
-        tax_err = ((w1 >> 15) & 0x7FFF).astype(np.int64)
-        read_kmers = (w1 & 0x7FFF).astype(np.int64)
+        L = batch.codes.shape[1]
+        cls, found, stats_ok, tax_err, read_kmers = unpack_per_read_np(
+            pk, self.n_nodes, L - cfg.k + 1, L)
         n_win = np.maximum(batch.lengths.astype(np.int64) - (cfg.k - 1), 0)
 
         # totals (ref: AbstractFastqReader.doReadFastq:343-349)

@@ -591,13 +591,62 @@ def fold_node_state(state, out, batch_no):
     return new
 
 
-def pack_per_read(out):
+def per_read_layout(n_nodes: int, W: int, L: int):
+    """Bit layout of the per-read result word(s) for a given batch shape.
+
+    Returns (words, nbits, kbits, ebits): with words == 1 everything fits one
+    int32 [B] vector (half the per-batch transfer) —
+      [found(1) | stats_ok(1) | tax_err(ebits) | read_kmers(kbits) |
+       class_node+1(nbits)];
+    words == 2 is the wide fallback ([B, 2]: class_node; flags|err|kmers).
+    Field bounds: read_kmers <= n_win <= W; tax_err <= n_win + #bad bases
+    <= W + L; class_node in [-1, n_nodes)."""
+    nbits = max(int(np.ceil(np.log2(n_nodes + 2))), 1)
+    kbits = max(int(np.ceil(np.log2(W + 2))), 1)
+    ebits = max(int(np.ceil(np.log2(W + L + 2))), 1)
+    if 2 + ebits + kbits + nbits <= 31:
+        return 1, nbits, kbits, ebits
+    return 2, 0, 15, 15
+
+
+def pack_per_read(out, n_nodes: int, W: int, L: int):
     import jax.numpy as jnp
+    words, nbits, kbits, ebits = per_read_layout(n_nodes, W, L)
+    if words == 1:
+        w = (jnp.where(out["found"], jnp.int32(1 << (ebits + kbits + nbits + 1)), 0)
+             | jnp.where(out["stats_ok"], jnp.int32(1 << (ebits + kbits + nbits)), 0)
+             | ((out["tax_err"] & ((1 << ebits) - 1)) << (kbits + nbits))
+             | ((out["read_kmers"] & ((1 << kbits) - 1)) << nbits)
+             | ((out["class_node"] + 1) & ((1 << nbits) - 1)))
+        return w
     w1 = (jnp.where(out["found"], jnp.int32(-(1 << 31)), 0)
           | jnp.where(out["stats_ok"], jnp.int32(1 << 30), 0)
           | (jnp.minimum(out["tax_err"], (1 << 15) - 1) << 15)
           | jnp.minimum(out["read_kmers"], (1 << 15) - 1))
     return jnp.stack([out["class_node"], w1], axis=1)
+
+
+def unpack_per_read_np(pk: np.ndarray, n_nodes: int, W: int, L: int):
+    """Host inverse of pack_per_read.
+
+    Returns (class_node i64, found bool, stats_ok bool, tax_err i64,
+    read_kmers i64)."""
+    words, nbits, kbits, ebits = per_read_layout(n_nodes, W, L)
+    if words == 1:
+        w = pk.astype(np.int64)
+        cls = (w & ((1 << nbits) - 1)) - 1
+        read_kmers = (w >> nbits) & ((1 << kbits) - 1)
+        tax_err = (w >> (kbits + nbits)) & ((1 << ebits) - 1)
+        stats_ok = ((w >> (ebits + kbits + nbits)) & 1) != 0
+        found = ((w >> (ebits + kbits + nbits + 1)) & 1) != 0
+        return cls, found, stats_ok, tax_err, read_kmers
+    cls = pk[:, 0].astype(np.int64)
+    w1 = pk[:, 1].view(np.uint32)
+    found = (w1 >> 31) != 0
+    stats_ok = ((w1 >> 30) & 1) != 0
+    tax_err = ((w1 >> 15) & 0x7FFF).astype(np.int64)
+    read_kmers = (w1 & 0x7FFF).astype(np.int64)
+    return cls, found, stats_ok, tax_err, read_kmers
 
 
 @functools.partial(jax.jit,
@@ -611,6 +660,7 @@ def match_accum_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
     out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
                      codes, lengths, err_bounds, seen, counts)
     nstate = fold_node_state(nstate, out, batch_no)
-    packed = pack_per_read(out)
+    B, L = codes.shape
+    packed = pack_per_read(out, n_nodes, L - cfg.k + 1, L)
     label = out["label"] if cfg.return_labels else None
     return packed, label, out["seen"], out["counts"], nstate

@@ -153,7 +153,7 @@ def make_sharded_accum_step(mesh: Mesh, cfg: MatchConfig, spec: TableSpec,
         out2["argmax_enc"] = jax.lax.pmin(enc, axis)
         ns = fold_node_state({k: v[0] for k, v in nstate.items()}, out2,
                              batch_no)
-        packed = pack_per_read(out)
+        packed = pack_per_read(out, n_nodes, W, L)
         res = {"packed": packed,
                "seen": out["seen"][None], "counts": out["counts"][None],
                "nstate": {k: v[None] for k, v in ns.items()}}
