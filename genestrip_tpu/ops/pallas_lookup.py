@@ -1,0 +1,97 @@
+"""Pallas TPU kernel for the scatter-join dense compare pass.
+
+The hot op of the quotient-hash lookup (store/hash.py lookup_join) is the
+dense pass: for every bucket, compare the R query scratch lanes against the
+bucket's 4 stored slots and emit (found, value, lane). The XLA lowering
+fuses this into elementwise ops over [NB, R] already; this kernel is the
+explicitly tiled VMEM version of the same pass — one [TB, 8] row tile and
+one [TB, R] scratch tile per grid step, double-buffered HBM->VMEM by the
+Pallas pipeline, all compares on the VPU, results written as packed int32.
+
+Ref role: the in-bucket probe of store/KMerSortedArray.java:298-349 /
+RadixKMerStore.java:38-88 (SURVEY §7 M5 [HOT] rows). Parity with the XLA
+path is tested in interpret mode on CPU (tests/test_pallas_lookup.py);
+scripts/probe_pallas_dense.py measures both on hardware. lookup_join picks
+this kernel when `use_pallas` is set (see measurements in the probe —
+whichever path wins on the deployment chip can be made the default; they
+are bit-identical).
+
+Output packing: one int32 per (bucket, lane):
+  -1                  -> no slot matched
+  (slot_lane << vb) | vidx  packed as (j * 2^vb + vidx), j in [0, 4)
+so the caller recovers found = (w >= 0), vidx = w & (2^vb - 1),
+lane j = w >> vb.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BUCKET = 4
+
+
+def _dense_kernel(rows_ref, sh_ref, sw_ref, out_ref, *, vb: int):
+    """One [TB, 8] rows tile vs [TB, R] scratch lanes -> [TB, R] packed."""
+    sh = sh_ref[:]                       # [TB, R] int32 query h2
+    sw = sw_ref[:]                       # [TB, R] int32 query (rem2<<1|choice)
+    empty = jnp.int32((1 << vb) - 1)
+    res = jnp.full(sh.shape, -1, jnp.int32)
+    for j in range(BUCKET):
+        kj = rows_ref[:, j][:, None]             # stored h2
+        pj = rows_ref[:, BUCKET + j][:, None]    # stored (rem2|choice|vidx)
+        vj = pj & empty
+        want = jax.lax.shift_right_logical(pj, vb)
+        eq = (kj == sh) & (want == sw) & (vj != empty)
+        packed = jnp.int32(j << vb) | vj
+        res = jnp.where(eq & (res < 0), packed, res)
+    out_ref[:] = res
+
+
+@functools.partial(jax.jit, static_argnames=("vb", "tile", "interpret"))
+def dense_pass_pallas(rows, sc_h, sc_w, *, vb: int, tile: int = 2048,
+                      interpret: bool = False):
+    """Tiled Pallas dense pass.
+
+    rows: [NB, 8] int32; sc_h/sc_w: [NB, R] int32 scratch planes.
+    Returns packed [NB, R] int32 (see module docstring).
+    """
+    NB, R = sc_h.shape
+    grid = (pl.cdiv(NB, tile),)
+    kernel = functools.partial(_dense_kernel, vb=vb)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, R), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, R), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, R), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NB, R), jnp.int32),
+        interpret=interpret,
+    )(rows, sc_h, sc_w)
+
+
+def dense_pass_xla(rows, sc_h, sc_w, *, vb: int):
+    """Reference XLA lowering of the same pass (bit-identical)."""
+    empty = jnp.int32((1 << vb) - 1)
+    res = jnp.full(sc_h.shape, -1, jnp.int32)
+    for j in range(BUCKET):
+        kj = rows[:, j][:, None]
+        pj = rows[:, BUCKET + j][:, None]
+        vj = pj & empty
+        want = jax.lax.shift_right_logical(pj, vb)
+        eq = (kj == sc_h) & (want == sc_w) & (vj != empty)
+        packed = jnp.int32(j << vb) | vj
+        res = jnp.where(eq & (res < 0), packed, res)
+    return res

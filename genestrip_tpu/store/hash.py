@@ -273,7 +273,8 @@ def _entry_count_bits(e: int) -> int:
 
 
 def lookup_join(rows, q_hi, q_lo, *, nb_bits: int, r_lanes: int = 0,
-                fallback_cap: int = 8192, axis: str | None = None):
+                fallback_cap: int = 8192, axis: str | None = None,
+                use_pallas: bool = False):
     """Exact scatter-join hash lookup on device; contract == lookup_hash.
 
     rows: [NB, 8] int32; q_hi/q_lo: uint32 query halves, any shape.
@@ -389,21 +390,31 @@ def lookup_join(rows, q_hi, q_lo, *, nb_bits: int, r_lanes: int = 0,
         sp2 = sc_p[:-1].reshape(nb_local, R)
     sh2 = sc_h[:-1].reshape(nb_local, R)
 
-    # dense pass: [NB, R] scratch lanes vs the 4 slots of each row
-    fnd = jnp.zeros((nb_local, R), bool)
-    v = jnp.zeros((nb_local, R), jnp.int32)
-    lane = jnp.zeros((nb_local, R), jnp.int32)
-    for j in range(BUCKET):
-        kj = rows[:, j][:, None]
-        pj = jax.lax.bitcast_convert_type(rows[:, BUCKET + j], jnp.uint32)[:, None]
-        vj = (pj & jnp.uint32(empty)).astype(jnp.int32)
-        eqj = ((kj == sh2)
-               & ((pj >> jnp.uint32(vb)).astype(jnp.int32) == sw_probe)
-               & (vj != empty))
-        first = eqj & ~fnd
-        v = jnp.where(first, vj, v)
-        lane = jnp.where(first, j, lane)
-        fnd = fnd | eqj
+    # dense pass: [NB, R] scratch lanes vs the 4 slots of each row. The
+    # Pallas kernel (ops/pallas_lookup.py) is the explicitly tiled VMEM
+    # version of the same pass — bit-identical; pick by measurement
+    # (scripts/probe_pallas_dense.py).
+    if use_pallas:
+        from genestrip_tpu.ops.pallas_lookup import dense_pass_pallas
+        w = dense_pass_pallas(rows, sh2, sw_probe, vb=vb)
+        fnd = w >= 0
+        v = jnp.where(fnd, w & empty, 0)
+        lane = jnp.where(fnd, jax.lax.shift_right_logical(w, vb), 0)
+    else:
+        fnd = jnp.zeros((nb_local, R), bool)
+        v = jnp.zeros((nb_local, R), jnp.int32)
+        lane = jnp.zeros((nb_local, R), jnp.int32)
+        for j in range(BUCKET):
+            kj = rows[:, j][:, None]
+            pj = jax.lax.bitcast_convert_type(rows[:, BUCKET + j], jnp.uint32)[:, None]
+            vj = (pj & jnp.uint32(empty)).astype(jnp.int32)
+            eqj = ((kj == sh2)
+                   & ((pj >> jnp.uint32(vb)).astype(jnp.int32) == sw_probe)
+                   & (vj != empty))
+            first = eqj & ~fnd
+            v = jnp.where(first, vj, v)
+            lane = jnp.where(first, j, lane)
+            fnd = fnd | eqj
     bidx = jax.lax.broadcasted_iota(jnp.int32, (nb_local, R), 0)
     if bucket_lo is not None:
         bidx = bidx + bucket_lo      # globalize the slot id
