@@ -7,12 +7,21 @@ classification reads/s/chip) is printed LAST:
 
   1. k-mer lookup throughput (lookups/s) — the match hot op alone.
   2. DB build wall-clock on a synthetic category (bases/s).
-  3. end-to-end reads/s from a gzip fastq on disk through the full Matcher
-     (parse + pack + device + aggregation). NOTE: on this axon-tunneled
-     chip, host->device transfer is orders of magnitude slower than a real
-     TPU host link, so this number is a lower bound dominated by the tunnel.
+  3. host input pipeline (gzip fastq -> packed batches, reads/s) and
+     end-to-end reads/s from a gzip fastq on disk through the full Matcher.
+     NOTE: on this axon-tunneled chip, device->host pulls run at ~0.1 MB/s
+     with ~25 ms RTT (measured) — orders of magnitude below a real TPU host
+     link — so the end-to-end figure is a lower bound dominated by the
+     tunnel, not by the pipeline.
   4. device-pipeline classification reads/s/chip (batches staged on device,
      as a production input pipeline keeps them).
+
+Each phase runs in its OWN subprocess: executing some graphs over the axon
+tunnel can degrade the session for everything after them in-process
+(empirically: the lookup micro-benchmark left subsequent identical
+match_step calls ~2500x slower; in a fresh process the same steps run at
+0.3 ms). Per-phase isolation + a per-phase timeout keeps one wedged phase
+from corrupting or killing the rest.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md) and cannot run
 here (no JVM). The constant below is a deliberately generous estimate of its
@@ -24,6 +33,8 @@ import argparse
 import gzip
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -98,47 +109,34 @@ def emit(metric, value, unit, baseline):
     }), flush=True)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--db-bp", type=int, default=16_000_000)
-    ap.add_argument("--taxa", type=int, default=256)
-    ap.add_argument("--reads", type=int, default=512 * 1024)
-    ap.add_argument("--read-len", type=int, default=150)
-    ap.add_argument("--batch", type=int, default=8192)
-    ap.add_argument("--hit-frac", type=float, default=0.5)
-    ap.add_argument("--e2e-reads", type=int, default=512 * 1024)
-    ap.add_argument("--dbbuild-bp", type=int, default=32_000_000)
-    ap.add_argument("--skip-e2e", action="store_true")
-    ap.add_argument("--skip-dbbuild", action="store_true")
-    ap.add_argument("--verbose", action="store_true")
-    args = ap.parse_args()
+# ---------------------------------------------------------------------------
+# phases (each runs in its own process)
+# ---------------------------------------------------------------------------
 
-    import jax
+def _match_world(args):
     import jax.numpy as jnp
-    from genestrip_tpu.io.reads import _bucket_len
-    from genestrip_tpu.match.pipeline import (
-        MatchConfig, TableSpec, build_match_arrays, match_step,
-    )
-    from genestrip_tpu.store.hash import lookup_join
+    from genestrip_tpu.match.pipeline import MatchConfig, build_match_arrays
 
     t0 = time.time()
     table, tree, nov, genome = build_world(args.db_bp, args.taxa)
     tree.node_of_value = lambda tb: nov          # bench tree glue
-    codes_all = make_reads(genome, args.reads, args.read_len, args.hit_frac)
-    t_build = time.time() - t0
-
-    k = table.k
     sa, spec = build_match_arrays(table, tree)
-    rows, vaux = sa["rows"], sa["vaux"]
-    anc = jnp.asarray(np.zeros((len(tree), 1), np.int32)
-                      if not hasattr(tree, "ancestor_at_depth")
-                      else tree.ancestor_at_depth)
-    n_nodes = len(tree)
-    cfg = MatchConfig(k=k, return_labels=False)
-    B = args.batch
+    anc = jnp.asarray(tree.ancestor_at_depth)
+    cfg = MatchConfig(k=table.k, return_labels=False)
+    if args.verbose:
+        print(f"# world build {time.time() - t0:.1f}s "
+              f"table={table.entries}", flush=True)
+    return table, tree, genome, sa, spec, anc, cfg
 
-    # ---- 1. k-mer lookup throughput ------------------------------------
-    from genestrip_tpu.ops.kmer import window_kmers_np, split_u64
+
+def phase_lookup(args):
+    import jax
+    import jax.numpy as jnp
+    from genestrip_tpu.ops.kmer import split_u64
+    from genestrip_tpu.store.hash import lookup_join
+
+    table, tree, genome, sa, spec, anc, cfg = _match_world(args)
+    rows = sa["rows"]
     rngq = np.random.default_rng(5)
     qk = np.concatenate([
         table.keys[rngq.integers(0, len(table.keys), 1 << 19)],
@@ -156,162 +154,236 @@ def main():
     t0 = time.time()
     reps = 20
     for _ in range(reps):
-        out = jax.block_until_ready(lk(rows, q_hi_d, q_lo_d))
+        jax.block_until_ready(lk(rows, q_hi_d, q_lo_d))
     lookup_ps = len(qk) * reps / (time.time() - t0)
     if args.verbose:
         print(f"# lookup: {len(qk)} queries, found={int(nfound)}")
     emit("k-mer lookup throughput (16M-key table, 1M queries/batch)",
          lookup_ps, "lookups/s/chip", BASELINE_LOOKUPS_PER_SEC)
 
-    # ---- 2. DB build wall-clock ----------------------------------------
-    if not args.skip_dbbuild:
-        import tempfile
-        from genestrip_tpu.db.build import (
-            BuildOptions, DBFiller, DBUpdater,
-        )
-        bp = args.dbbuild_bp
-        rngg = np.random.default_rng(11)
-        with tempfile.TemporaryDirectory() as td:
-            paths = []
-            n_files = 8
-            per = bp // n_files
-            base_map = np.frombuffer(b"ACGT", np.uint8)
-            for i in range(n_files):
-                seq = base_map[rngg.integers(0, 4, per)].tobytes()
-                p = os.path.join(td, f"g{i}.fna.gz")
-                with gzip.open(p, "wb", compresslevel=1) as f:
-                    f.write(b">NC_%06d.1 synthetic genome\n" % i)
-                    for j in range(0, len(seq), 80):
-                        f.write(seq[j:j + 80] + b"\n")
-                paths.append(p)
-            # minimal taxonomy world for the build
-            from genestrip_tpu.tax.tree import TaxTree
-            taxdir = os.path.join(td, "tax")
-            os.makedirs(taxdir)
-            rows_t = [("1", "1", "no rank")] + [
-                (str(100 + i), "1", "species") for i in range(n_files)]
-            with open(os.path.join(taxdir, "nodes.dmp"), "w") as f:
-                for tid, par, rank in rows_t:
-                    f.write(f"{tid}\t|\t{par}\t|\t{rank}\t|\t\t|\t8\t|\t0\t|"
-                            f"\t1\t|\t0\t|\t0\t|\t0\t|\t0\t|\t0\t|\t\t|\n")
-            with open(os.path.join(taxdir, "names.dmp"), "w") as f:
-                for tid, _, _ in rows_t:
-                    f.write(f"{tid}\t|\tn{tid}\t|\t\t|\tscientific name\t|\n")
-            from pathlib import Path
-            tree2 = TaxTree(Path(taxdir))
-            nodes = [tree2.get(str(100 + i)) for i in range(n_files)]
-            opts = BuildOptions(k=31)
-            t0 = time.time()
-            filler = DBFiller(tree2, set(), None, opts)
-            filler.feed_items([(p, nodes[i % len(nodes)])
-                               for i, p in enumerate(paths)], threads=-1)
-            tb2 = filler.build()
-            upd = DBUpdater(tree2, tb2, set(), None, opts)
-            upd.feed_items([(p, nodes[(i + 1) % len(nodes)])
-                            for i, p in enumerate(paths)], threads=-1)
-            upd.flush()
-            dt = time.time() - t0
-        emit(f"DB build wall-clock ({bp/1e6:.0f}M bases fill+update, host)",
-             bp * 2 / dt, "bases/s", BASELINE_DB_BASES_PER_SEC)
-        if args.verbose:
-            print(f"# db build: {dt:.1f}s, {tb2.entries} kmers, "
-                  f"moved={upd.kmers_moved}")
 
-    # ---- stage batches at Matcher-identical shapes ---------------------
+def phase_dbbuild(args):
+    import tempfile
+    from genestrip_tpu.db.build import BuildOptions, DBFiller, DBUpdater
+    from genestrip_tpu.tax.tree import TaxTree
+    from pathlib import Path
+
+    bp = args.dbbuild_bp
+    rngg = np.random.default_rng(11)
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        n_files = 8
+        per = bp // n_files
+        base_map = np.frombuffer(b"ACGT", np.uint8)
+        for i in range(n_files):
+            seq = base_map[rngg.integers(0, 4, per)].tobytes()
+            p = os.path.join(td, f"g{i}.fna.gz")
+            with gzip.open(p, "wb", compresslevel=1) as f:
+                f.write(b">NC_%06d.1 synthetic genome\n" % i)
+                for j in range(0, len(seq), 80):
+                    f.write(seq[j:j + 80] + b"\n")
+            paths.append(p)
+        taxdir = os.path.join(td, "tax")
+        os.makedirs(taxdir)
+        rows_t = [("1", "1", "no rank")] + [
+            (str(100 + i), "1", "species") for i in range(n_files)]
+        with open(os.path.join(taxdir, "nodes.dmp"), "w") as f:
+            for tid, par, rank in rows_t:
+                f.write(f"{tid}\t|\t{par}\t|\t{rank}\t|\t\t|\t8\t|\t0\t|"
+                        f"\t1\t|\t0\t|\t0\t|\t0\t|\t0\t|\t0\t|\t\t|\n")
+        with open(os.path.join(taxdir, "names.dmp"), "w") as f:
+            for tid, _, _ in rows_t:
+                f.write(f"{tid}\t|\tn{tid}\t|\t\t|\tscientific name\t|\n")
+        tree2 = TaxTree(Path(taxdir))
+        nodes = [tree2.get(str(100 + i)) for i in range(n_files)]
+        opts = BuildOptions(k=31)
+        t0 = time.time()
+        filler = DBFiller(tree2, set(), None, opts)
+        filler.feed_items([(p, nodes[i % len(nodes)])
+                           for i, p in enumerate(paths)], threads=-1)
+        tb2 = filler.build()
+        # host path benchmarked: the device-update auto gate stays on the
+        # host path over the tunnel link (db/build.py link_d2h_bandwidth)
+        upd = DBUpdater(tree2, tb2, set(), None, opts, device_update=False)
+        upd.feed_items([(p, nodes[(i + 1) % len(nodes)])
+                        for i, p in enumerate(paths)], threads=-1)
+        upd.flush()
+        dt = time.time() - t0
+    emit(f"DB build wall-clock ({bp/1e6:.0f}M bases fill+update, host)",
+         bp * 2 / dt, "bases/s", BASELINE_DB_BASES_PER_SEC)
+    if args.verbose:
+        print(f"# db build: {dt:.1f}s, {tb2.entries} kmers, "
+              f"moved={upd.kmers_moved}")
+
+
+def _write_bench_fastq(fq, codes, read_len):
+    qual = b"I" * read_len
+    with gzip.open(fq, "wb", compresslevel=1) as f:
+        base_map = np.frombuffer(b"ACGT", np.uint8)
+        for s0 in range(0, len(codes), 4096):
+            blk = codes[s0:s0 + 4096]
+            txt = base_map[blk]
+            recs = []
+            for j in range(len(blk)):
+                recs.append(b"@r%d\n" % (s0 + j))
+                recs.append(txt[j].tobytes())
+                recs.append(b"\n+\n")
+                recs.append(qual)
+                recs.append(b"\n")
+            f.write(b"".join(recs))
+
+
+def phase_e2e(args):
+    import tempfile
+
+    import jax
+    from genestrip_tpu.io.reads import BatchPacker, parse_fastq_blocks
+    from genestrip_tpu.match.matcher import Matcher
+
+    table, tree, genome, sa, spec, anc, cfg = _match_world(args)
+    codes = make_reads(genome, args.e2e_reads, args.read_len, args.hit_frac)
+    B = args.batch
+    with tempfile.TemporaryDirectory() as td:
+        fq = os.path.join(td, "bench.fastq.gz")
+        _write_bench_fastq(fq, codes, args.read_len)
+        # 3a. host input pipeline alone (gzip -> parse -> packed batches);
+        # this is the host-side ceiling a local-link chip would see
+        # (ref producer contract: fastq/AbstractFastqReader.java:88-185)
+        t0 = time.time()
+        n_parsed = 0
+        packer = BatchPacker(B)
+        with gzip.open(fq, "rb") as f:
+            for b_ in parse_fastq_blocks(f, packer):
+                n_parsed += b_.n
+        parse_rps = n_parsed / (time.time() - t0)
+        emit("host input pipeline (gzip fastq -> packed 2-bit batches)",
+             parse_rps, "reads/s", BASELINE_READS_PER_SEC)
+        # 3b. full pipeline including device round trips; one full-batch
+        # warmup run first so XLA compilation stays out of the timed region
+        m = Matcher(table, tree, cfg, batch_size=B,
+                    devices=jax.local_devices()[:1])
+        m.progress = False
+        fq_warm = os.path.join(td, "warm.fastq.gz")
+        _write_bench_fastq(fq_warm, codes[:B], args.read_len)
+        m.run([fq_warm])
+        m.reset()
+        t0 = time.time()
+        m.run([fq])
+        e2e_rps = m.total_reads / (time.time() - t0)
+    emit("end-to-end classification (gzip fastq -> CSV stats, incl. "
+         "axon-tunnel h2d+d2h at ~1 MB/s)", e2e_rps, "reads/s/chip",
+         BASELINE_READS_PER_SEC)
+
+
+def phase_device(args):
+    import jax
+    import jax.numpy as jnp
+    from genestrip_tpu.io.reads import _bucket_len
+    from genestrip_tpu.match.pipeline import error_bounds, match_step
+
+    table, tree, genome, sa, spec, anc, cfg = _match_world(args)
+    rows, vaux = sa["rows"], sa["vaux"]
+    n_nodes = len(tree)
+    k = table.k
+    B = args.batch
+    codes_all = make_reads(genome, args.reads, args.read_len, args.hit_frac)
     L = _bucket_len(args.read_len)
     n_batches = max(args.reads // B, 1)
     staged = np.full((n_batches, B, L), 255, np.uint8)
     staged[:, :, : args.read_len] = codes_all[: n_batches * B].reshape(
         n_batches, B, args.read_len)
     lengths = jnp.full((B,), args.read_len, jnp.int32)
-    from genestrip_tpu.match.pipeline import error_bounds
     bounds = jnp.asarray(error_bounds(
         np.full(B, args.read_len, np.int32), k, cfg))
     staged_d = jnp.asarray(staged)
     seen = jnp.zeros(spec.n + 1, jnp.uint8)
     counts = jnp.zeros(1, jnp.int32)
 
-    # warmup/compile
+    t0 = time.time()
     out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
                      staged_d[0], lengths, bounds, seen, counts)
     seen, counts = out["seen"], out["counts"]
     jax.block_until_ready(out["class_node"])
     t_compile = time.time() - t0
 
-    # ---- 4 (measure now, emit last). device pipeline -------------------
-    # Block every step: over the axon tunnel, dozens of queued async
-    # dispatches (each with ~14 output buffers) serialize pathologically —
-    # blocking per step measures actual device throughput (probe
-    # scripts/probe_r4_benchworld.py: 0.3 ms/step blocked vs 0.76 s/step
-    # when 64 steps pile up unblocked). Best of `reps` passes is reported.
+    # Block every step (dispatch queue pileup over the tunnel skews the
+    # measurement); report the best of two passes.
     rps = 0.0
-    cls = 0
-    for _ in range(2):
+    for rep in range(2):
         t0 = time.time()
         for i in range(n_batches):
+            ts = time.time()
             out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
                              staged_d[i], lengths, bounds, seen, counts)
             seen, counts = out["seen"], out["counts"]
             jax.block_until_ready(out["class_node"])
+            if args.loop_debug and rep == 0 and i < 8:
+                print(f"# step {i}: {(time.time() - ts) * 1e3:8.1f} ms",
+                      flush=True)
         dt = time.time() - t0
         rps = max(rps, n_batches * B / dt)
     cls = int(jnp.sum((out["class_node"] >= 0).astype(jnp.int32)))
-
-    # ---- 3. end-to-end from a gzip fastq on disk -----------------------
-    if not args.skip_e2e:
-        import tempfile
-        from genestrip_tpu.io.reads import BatchPacker, parse_fastq_blocks
-        from genestrip_tpu.match.matcher import Matcher
-        qual = b"I" * args.read_len
-        dev0 = jax.local_devices()[:1]
-        with tempfile.TemporaryDirectory() as td:
-            fq = os.path.join(td, "bench.fastq.gz")
-            n_e2e = args.e2e_reads
-            src = codes_all[: min(len(codes_all), n_e2e)]
-            with gzip.open(fq, "wb", compresslevel=1) as f:
-                base_map = np.frombuffer(b"ACGT", np.uint8)
-                # write in blocks of 4096 reads
-                for s0 in range(0, len(src), 4096):
-                    blk = src[s0:s0 + 4096]
-                    txt = base_map[blk]
-                    recs = []
-                    for j in range(len(blk)):
-                        recs.append(b"@r%d\n" % (s0 + j))
-                        recs.append(txt[j].tobytes())
-                        recs.append(b"\n+\n")
-                        recs.append(qual)
-                        recs.append(b"\n")
-                    f.write(b"".join(recs))
-            # 3a. host input pipeline alone (gzip -> parse -> packed batches);
-            # this is the host-side ceiling a local-link chip would see
-            # (ref producer contract: fastq/AbstractFastqReader.java:88-185)
-            t0 = time.time()
-            n_parsed = 0
-            packer = BatchPacker(B)
-            with gzip.open(fq, "rb") as f:
-                for b_ in parse_fastq_blocks(f, packer):
-                    n_parsed += b_.n
-            parse_rps = n_parsed / (time.time() - t0)
-            emit("host input pipeline (gzip fastq -> packed 2-bit batches)",
-                 parse_rps, "reads/s", BASELINE_READS_PER_SEC)
-            # 3b. full pipeline including device round trips
-            m = Matcher(table, tree, cfg, batch_size=B, devices=dev0)
-            m.progress = False
-            t0 = time.time()
-            res = m.run([fq])
-            dt_e = time.time() - t0
-            e2e_rps = m.total_reads / dt_e
-        emit("end-to-end classification (gzip fastq -> CSV stats, incl. "
-             "axon-tunnel h2d+d2h at ~1 MB/s)", e2e_rps, "reads/s/chip",
-             BASELINE_READS_PER_SEC)
-
     if args.verbose:
-        print(f"# build={t_build:.1f}s compile={t_compile:.1f}s "
-              f"device loop: {n_batches * B} reads in {dt:.2f}s; "
+        print(f"# compile={t_compile:.1f}s device loop: {n_batches * B} "
+              f"reads, best {n_batches * B / rps * 1e3:.1f} ms/pass; "
               f"classified(last batch)={cls}/{B}; table={table.entries}; "
               f"device={jax.devices()[0]}")
     emit("classification throughput (k=31, 150bp reads, 16M-kmer DB, "
          "device pipeline)", rps, "reads/s/chip", BASELINE_READS_PER_SEC)
+
+
+PHASES = {
+    "lookup": phase_lookup,
+    "dbbuild": phase_dbbuild,
+    "e2e": phase_e2e,
+    "device": phase_device,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--db-bp", type=int, default=16_000_000)
+    ap.add_argument("--taxa", type=int, default=256)
+    ap.add_argument("--reads", type=int, default=512 * 1024)
+    ap.add_argument("--read-len", type=int, default=150)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--hit-frac", type=float, default=0.5)
+    ap.add_argument("--e2e-reads", type=int, default=64 * 1024)
+    ap.add_argument("--dbbuild-bp", type=int, default=32_000_000)
+    ap.add_argument("--skip-e2e", action="store_true")
+    ap.add_argument("--skip-dbbuild", action="store_true")
+    ap.add_argument("--skip-lookup", action="store_true")
+    ap.add_argument("--loop-debug", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--phase", choices=sorted(PHASES))
+    ap.add_argument("--phase-timeout", type=int, default=2400)
+    args = ap.parse_args()
+
+    if args.phase:
+        PHASES[args.phase](args)
+        return
+
+    phases = []
+    if not args.skip_lookup:
+        phases.append("lookup")
+    if not args.skip_dbbuild:
+        phases.append("dbbuild")
+    if not args.skip_e2e:
+        phases.append("e2e")
+    phases.append("device")       # headline metric printed last
+
+    passthrough = sys.argv[1:]
+    for ph in phases:
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--phase", ph] + passthrough
+        try:
+            r = subprocess.run(cmd, timeout=args.phase_timeout)
+            if r.returncode != 0:
+                print(f"# phase {ph} exited with {r.returncode}",
+                      file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"# phase {ph} timed out after {args.phase_timeout}s "
+                  f"(tunnel wedge?) - skipping", file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
