@@ -249,11 +249,12 @@ def phase_e2e(args):
         # 3a. host input pipeline alone (gzip -> parse -> packed batches);
         # this is the host-side ceiling a local-link chip would see
         # (ref producer contract: fastq/AbstractFastqReader.java:88-185)
+        from genestrip_tpu.io.streams import ReadAhead
         t0 = time.time()
         n_parsed = 0
         packer = BatchPacker(B)
         with gzip.open(fq, "rb") as f:
-            for b_ in parse_fastq_blocks(f, packer):
+            for b_ in parse_fastq_blocks(ReadAhead(f), packer):
                 n_parsed += b_.n
         parse_rps = n_parsed / (time.time() - t0)
         emit("host input pipeline (gzip fastq -> packed 2-bit batches)",

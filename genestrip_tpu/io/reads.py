@@ -274,17 +274,35 @@ class BatchPacker:
                     codes[rows, cols] = flat
                     off += len(seqs)
             else:
-                # padded 2-D gather from the pre-mapped block: one strided
-                # read per row, no repeat/cumsum index vectors (measured 5x
-                # slower) and no second table gather
+                # padded 2-D fetch from the pre-mapped block. Uniform-record
+                # fast path: when all starts are equally strided (fixed-width
+                # descriptors + uniform read length, the common fastq shape)
+                # an as_strided view turns the fetch into one memcpy
+                # (measured 5.7 ms vs 34 ms np.take vs 73-145 ms fancy
+                # indexing per 131k x 192 at this host).
                 _, buf, spans, mapped = seg
                 s_s, s_e = spans[2], spans[3]
                 k = len(s_s)
                 lens = (s_e - s_s).astype(np.int32)
+                if k > 1:
+                    stride = int(s_s[1] - s_s[0])
+                    uniform = (stride > 0
+                               and int(s_s[-1] - s_s[0]) == stride * (k - 1)
+                               and bool((np.diff(s_s) == stride).all())
+                               and int(s_s[0]) + stride * (k - 1) + L
+                               <= len(mapped))
+                else:
+                    uniform = False
+                if uniform:
+                    from numpy.lib.stride_tricks import as_strided
+                    block = np.ascontiguousarray(as_strided(
+                        mapped[int(s_s[0]):], shape=(k, L),
+                        strides=(stride, 1)))
+                else:
+                    col64 = np.arange(L, dtype=np.int64)
+                    src = s_s[:, None] + col64[None, :]
+                    block = np.take(mapped, src, mode="clip")
                 col = np.arange(L, dtype=np.int32)
-                src = s_s.astype(np.int32)[:, None] + col[None, :]
-                np.minimum(src, np.int32(len(buf) - 1), out=src)
-                block = mapped[src]
                 block[col[None, :] >= lens[:, None]] = BAD
                 codes[off:off + k] = block
                 off += k

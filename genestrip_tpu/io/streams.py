@@ -100,6 +100,71 @@ class StreamingResource:
         return f"StreamingResource({self.source})"
 
 
+class ReadAhead:
+    """Background read-ahead over a binary stream.
+
+    A daemon thread pulls fixed-size chunks into a bounded queue; zlib
+    releases the GIL during decompression, so gzip inflate overlaps the
+    consumer's parsing on another core (the TPU-side replacement for the
+    reference's dedicated producer thread, ref
+    fastq/AbstractFastqReader.java:88-118). Supports read() (any-size
+    partial returns) and readline() (for the robust-parser fallback)."""
+
+    def __init__(self, stream, chunk: int = 1 << 22, depth: int = 4):
+        import queue
+        import threading
+        self._q: "queue.Queue" = queue.Queue(depth)
+        self._buf = b""
+        self._done = False
+        self._thread = threading.Thread(
+            target=self._run, args=(stream, chunk), daemon=True)
+        self._thread.start()
+
+    def _run(self, stream, chunk):
+        try:
+            while True:
+                c = stream.read(chunk)
+                self._q.put(c)
+                if not c:
+                    return
+        except BaseException as e:     # noqa: BLE001 — re-raised on consumer
+            self._q.put(e)
+
+    def _next_chunk(self) -> bytes:
+        if self._done:
+            return b""
+        c = self._q.get()
+        if isinstance(c, BaseException):
+            self._done = True
+            raise c
+        if not c:
+            self._done = True
+        return c
+
+    def read(self, n: int = -1) -> bytes:
+        if self._buf:
+            out, self._buf = self._buf, b""
+            return out
+        return self._next_chunk()
+
+    def readline(self) -> bytes:
+        parts = []
+        while True:
+            i = self._buf.find(b"\n")
+            if i >= 0:
+                line = self._buf[: i + 1]
+                self._buf = self._buf[i + 1:]
+                parts.append(line)
+                return b"".join(parts)
+            if self._buf:
+                parts.append(self._buf)
+                self._buf = b""
+            c = self._next_chunk()
+            if not c:
+                return b"".join(parts)
+            self._buf = c
+
+
 def open_input(path) -> io.BufferedReader:
     """Gzip-transparent buffered input stream for a file path."""
     return StreamingResource(path).open()

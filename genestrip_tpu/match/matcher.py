@@ -15,7 +15,7 @@ import numpy as np
 from genestrip_tpu.io.reads import (
     BatchPacker, ReadBatch, batch_feeder, parse_reads,
 )
-from genestrip_tpu.io.streams import Progress, StreamingResource
+from genestrip_tpu.io.streams import Progress, ReadAhead, StreamingResource
 from genestrip_tpu.match.pipeline import (
     LABEL_INVALID, LABEL_MISS, MatchConfig, error_bounds, match_accum_step,
     match_step, node_state_init, unpack_per_read_np,
@@ -221,7 +221,8 @@ class Matcher:
                 progress = Progress(f"match {res.name}", res,
                                     enabled=self.progress,
                                     interval_ms=self.progress_interval_ms)
-                gen = parse_reads(stream, packer, fasta)
+                src = (ReadAhead(stream) if self.threads != 0 else stream)
+                gen = parse_reads(src, packer, fasta)
                 if self.threads != 0:
                     gen = batch_feeder(gen, prefetch=4)
                 for batch in gen:
