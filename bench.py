@@ -207,7 +207,7 @@ def phase_dbbuild(args):
         upd = DBUpdater(tree2, tb2, set(), None, opts, device_update=False)
         upd.feed_items([(p, nodes[(i + 1) % len(nodes)])
                         for i, p in enumerate(paths)], threads=-1)
-        upd.flush()
+        upd.finalize()
         dt = time.time() - t0
     emit(f"DB build wall-clock ({bp/1e6:.0f}M bases fill+update, host)",
          bp * 2 / dt, "bases/s", BASELINE_DB_BASES_PER_SEC)

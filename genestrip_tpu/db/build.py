@@ -499,7 +499,10 @@ class DBUpdater:
         if self._dev is not None:
             # device path: the production lookup kernel searches each group's
             # k-mers on device and rewrites the device value vector through a
-            # host-computed full (value -> LCA(value, node)) map
+            # host-computed full (value -> LCA(value, node)) map. The value
+            # vector stays device-resident across flushes; finalize() pulls
+            # it to the host table ONCE at the end (the d2h bandwidth gate's
+            # cost model assumes exactly one pull).
             for g, chunks in enumerate(groups):
                 # dedup keeps the moved counter exact (duplicate entries in
                 # one scatter would each compare against the pre-step value)
@@ -510,8 +513,6 @@ class DBUpdater:
                     np.int32)
                 self._dev.apply_group(kk, pair_map)
             self.kmers_moved += self._dev.drain_moved()
-            self.table.set_value_idx_at(
-                np.arange(self._dev.n), self._dev.finalize())
             return
 
         for g, chunks in enumerate(groups):
@@ -529,6 +530,17 @@ class DBUpdater:
             if ch.any():
                 self.table.set_value_idx_at(pos[ch], nv[ch])
                 self.kmers_moved += int(ch.sum())
+
+    def finalize(self) -> None:
+        """Apply any pending regions and sync the table: in device mode this
+        performs the ONE device->host value-vector pull (ref: the single
+        update pass of DBGoal.java:75-110 ends with the store fixed). Must be
+        called once after the last feed; flush() alone leaves the device
+        path's host table stale."""
+        self.flush()
+        if self._dev is not None:
+            self.table.set_value_idx_at(
+                np.arange(self._dev.n), self._dev.finalize())
 
     def _rework_update(self, node: TaxNode, header: bytes, path) -> TaxNode:
         """ref: DBGoal reworkNode — only uses *existing* data/file/id children."""

@@ -116,19 +116,47 @@ class ReadAhead:
         self._q: "queue.Queue" = queue.Queue(depth)
         self._buf = b""
         self._done = False
+        self._closed = threading.Event()
         self._thread = threading.Thread(
             target=self._run, args=(stream, chunk), daemon=True)
         self._thread.start()
 
     def _run(self, stream, chunk):
         try:
-            while True:
+            while not self._closed.is_set():
                 c = stream.read(chunk)
-                self._q.put(c)
+                # bounded put that re-checks close, so an abandoned consumer
+                # cannot pin the producer (and the underlying file) forever
+                while not self._closed.is_set():
+                    try:
+                        self._q.put(c, timeout=0.2)
+                        break
+                    except Exception:   # queue.Full
+                        continue
                 if not c:
                     return
         except BaseException as e:     # noqa: BLE001 — re-raised on consumer
-            self._q.put(e)
+            try:
+                self._q.put_nowait(e)
+            except Exception:
+                pass
+
+    def close(self) -> None:
+        """Stop the producer thread (idempotent); pending chunks are dropped."""
+        self._closed.set()
+        self._done = True
+        # unblock a producer waiting on a full queue
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def _next_chunk(self) -> bytes:
         if self._done:
@@ -142,10 +170,15 @@ class ReadAhead:
         return c
 
     def read(self, n: int = -1) -> bytes:
-        if self._buf:
+        """Read up to n bytes (standard read contract; n <= 0 reads whatever
+        buffered/next chunk is available, like a raw stream's read1)."""
+        if not self._buf:
+            self._buf = self._next_chunk()
+        if n is None or n < 0 or n >= len(self._buf):
             out, self._buf = self._buf, b""
             return out
-        return self._next_chunk()
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
 
     def readline(self) -> bytes:
         parts = []

@@ -328,7 +328,7 @@ class GSMaker:
         items = ([(f, None) for f in files]
                  + [(f, node) for f, node in additional.items()])
         updater.feed_items(items, threads=p["threads"])
-        updater.flush()
+        updater.finalize()
         log.info("KMers moved via update: %d", updater.kmers_moved)
         p.additional_properties[GENESTRIP_VERSION] = __version__
         p.additional_properties[GENESTRIP_TITLE] = "genestrip-tpu"

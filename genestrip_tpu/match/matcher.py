@@ -407,7 +407,7 @@ class Matcher:
                              b"\t" + b" ".join(segs) + b"\n")
 
     def _finalize_batch(self, batch: ReadBatch, out, filtered_out, kraken_out):
-        """Unpack ONE [B, 2] int32 per-read transfer (see pipeline
+        """Unpack ONE packed int32 per-read transfer (see pipeline
         pack_per_read) and accumulate the host-side per-read statistics in
         read order (ref :508-530); per-node statistics stay on device until
         the next drain."""

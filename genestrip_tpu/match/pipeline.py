@@ -543,11 +543,8 @@ def match_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
 # the axon tunnel (d2h ~0.1 MB/s, ~25 ms RTT — measured) it dominates end to
 # end. The accumulating step keeps every per-NODE statistic in donated device
 # state (drained every few batches; the drain interval bounds int32 overflow
-# of the contig^2 sums) and packs the per-READ results into one [B, 2] int32
-# array:
-#   word0 = class_node
-#   word1 = found<<31 | stats_ok<<30 | tax_err<<15 | read_kmers
-# (tax_err and read_kmers are < n_win <= the long-read threshold < 2^15).
+# of the contig^2 sums) and packs the per-READ results into one int32 word
+# per read (or a [B, 3] wide layout for long reads — see per_read_layout).
 # Per-read float error accumulation stays on the host in read order, which
 # preserves the reference's exact double-sum semantics
 # (ref CountsPerTaxid/ResultReporter formatting).
@@ -598,7 +595,10 @@ def per_read_layout(n_nodes: int, W: int, L: int):
     int32 [B] vector (half the per-batch transfer) —
       [found(1) | stats_ok(1) | tax_err(ebits) | read_kmers(kbits) |
        class_node+1(nbits)];
-    words == 2 is the wide fallback ([B, 2]: class_node; flags|err|kmers).
+    words == 3 is the wide fallback for long reads ([B, 3]: class_node;
+    found|stats_ok|tax_err; read_kmers) — every field at full width, so
+    classification-enabled long reads are never clamped (tax_err <= W + L
+    < 2^30 for any feasible read length).
     Field bounds: read_kmers <= n_win <= W; tax_err <= n_win + #bad bases
     <= W + L; class_node in [-1, n_nodes)."""
     nbits = max(int(np.ceil(np.log2(n_nodes + 2))), 1)
@@ -606,7 +606,7 @@ def per_read_layout(n_nodes: int, W: int, L: int):
     ebits = max(int(np.ceil(np.log2(W + L + 2))), 1)
     if 2 + ebits + kbits + nbits <= 31:
         return 1, nbits, kbits, ebits
-    return 2, 0, 15, 15
+    return 3, 0, 0, 0
 
 
 def pack_per_read(out, n_nodes: int, W: int, L: int):
@@ -621,9 +621,8 @@ def pack_per_read(out, n_nodes: int, W: int, L: int):
         return w
     w1 = (jnp.where(out["found"], jnp.int32(-(1 << 31)), 0)
           | jnp.where(out["stats_ok"], jnp.int32(1 << 30), 0)
-          | (jnp.minimum(out["tax_err"], (1 << 15) - 1) << 15)
-          | jnp.minimum(out["read_kmers"], (1 << 15) - 1))
-    return jnp.stack([out["class_node"], w1], axis=1)
+          | (out["tax_err"] & ((1 << 30) - 1)))
+    return jnp.stack([out["class_node"], w1, out["read_kmers"]], axis=1)
 
 
 def unpack_per_read_np(pk: np.ndarray, n_nodes: int, W: int, L: int):
@@ -644,8 +643,8 @@ def unpack_per_read_np(pk: np.ndarray, n_nodes: int, W: int, L: int):
     w1 = pk[:, 1].view(np.uint32)
     found = (w1 >> 31) != 0
     stats_ok = ((w1 >> 30) & 1) != 0
-    tax_err = ((w1 >> 15) & 0x7FFF).astype(np.int64)
-    read_kmers = (w1 & 0x7FFF).astype(np.int64)
+    tax_err = (w1 & ((1 << 30) - 1)).astype(np.int64)
+    read_kmers = pk[:, 2].astype(np.int64)
     return cls, found, stats_ok, tax_err, read_kmers
 
 
@@ -656,7 +655,8 @@ def match_accum_step(cfg: MatchConfig, spec: TableSpec, n_nodes: int,
                      rows, vaux, anc, codes, lengths, err_bounds,
                      seen, counts, nstate, batch_no):
     """match_step + device-side accumulation; returns
-    (per_read [B, 2] i32, label or None, seen, counts, nstate)."""
+    (per_read packed i32 (see per_read_layout), label or None, seen, counts,
+    nstate)."""
     out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
                      codes, lengths, err_bounds, seen, counts)
     nstate = fold_node_state(nstate, out, batch_no)

@@ -474,8 +474,14 @@ def lookup_join(rows, q_hi, q_lo, *, nb_bits: int, r_lanes: int = 0,
     # and the psums inside line up.
     n_unres = jnp.sum((~resolved).astype(jnp.int32))
     qbits = max(int(np.ceil(np.log2(Q + 1))), 1)
-    comp = jax.lax.sort((resolved.astype(jnp.int32) << qbits) | qid)
-    fb_idx = (comp & ((1 << qbits) - 1))[:FB]
+    if qbits + 1 <= 31:
+        comp = jax.lax.sort((resolved.astype(jnp.int32) << qbits) | qid)
+        fb_idx = (comp & ((1 << qbits) - 1))[:FB]
+    else:
+        # Q >= 2^30: the packed key would overflow int32; two-operand sort
+        _, fb_idx = jax.lax.sort((resolved.astype(jnp.int32), qid),
+                                 num_keys=1)
+        fb_idx = fb_idx[:FB]
 
     def fb_partial(args):
         found, vidx, slot_q = args

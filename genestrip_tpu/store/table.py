@@ -79,17 +79,19 @@ class TableBuilder:
     def add_pairs(self, kmers: np.ndarray, vidx: np.ndarray) -> None:
         """Add a chunk of (k-mer, value-index) pairs (indices must already exist).
 
-        Deduplicated within the chunk (first pair wins) so build() can treat
-        every chunk as first-wins-uniform under its last-write scatter."""
+        Deduplicated within the chunk (first pair wins; np.unique's
+        return_index is the first occurrence) and stored sorted-by-k-mer with
+        the values reordered alongside, so build() sees aligned chunks."""
         if len(kmers) == 0:
             return
         kmers = np.asarray(kmers, dtype=np.uint64)
         vidx = np.asarray(vidx, dtype=np.int32)
         _, idx = np.unique(kmers, return_index=True)
-        if len(idx) != len(kmers):
-            kmers, vidx = kmers[idx], vidx[idx]
-        self._kmer_chunks.append(kmers)
-        self._vidx_chunks.append(vidx)
+        # always reorder: kmers[idx] is sorted, and vidx must ride along even
+        # when the chunk is duplicate-free (an unsorted duplicate-free chunk
+        # previously desynced keys from values in build())
+        self._kmer_chunks.append(kmers[idx])
+        self._vidx_chunks.append(vidx[idx])
 
     def pending_kmers(self) -> int:
         return sum(len(c) for c in self._kmer_chunks)
@@ -112,10 +114,13 @@ class TableBuilder:
                          if len(self._kmer_chunks) > 1 else self._kmer_chunks[0])
         vidx = np.full(len(keys), -1, np.int32)
         for ck, cv in zip(self._kmer_chunks, self._vidx_chunks):
-            cs = np.sort(ck)
-            pos = np.searchsorted(keys, cs)
+            # argsort keeps keys and values aligned for ANY chunk ordering
+            # (add() chunks are unsorted-with-uniform-value; add_pairs chunks
+            # arrive pre-sorted, making this a near-no-op there)
+            o = np.argsort(ck)
+            pos = np.searchsorted(keys, ck[o])
             un = vidx[pos] == -1
-            vidx[pos[un]] = cv[un]
+            vidx[pos[un]] = cv[o][un]
         return KmerTable(self.k, keys, vidx, list(self.values))
 
 

@@ -32,7 +32,7 @@ def _run(tree, table, regions, device):
         upd._pend_kmers.append(kmers)
         upd._pend_nodes.append(tree.get(taxid))
         upd._pend_n += len(kmers)
-    upd.flush()
+    upd.finalize()
     return upd
 
 
@@ -81,6 +81,7 @@ def test_device_update_multiple_flushes(tree):
             u._pend_nodes.append(tree.get(taxid))
             u._pend_n += len(kk)
             u.flush()                      # one flush per region
+        u.finalize()
     assert dev.kmers_moved == host.kmers_moved
     host_tax = np.array([t_host.values[v] for v in t_host.value_idx])
     dev_tax = np.array([t_dev.values[v] for v in t_dev.value_idx])

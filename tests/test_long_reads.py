@@ -119,6 +119,38 @@ def test_chunked_equals_unchunked_1mbp(tmp_path):
         np.asarray(mc._unique_per_node()), golden.unique_per_node())
 
 
+def test_long_read_with_classification_unclamped(tmp_path):
+    """Regression (round-4 advisor, medium): a classification-enabled long
+    read takes the singleton-batch path with the wide per-read packing; its
+    read_kmers / tax_err must NOT saturate at 2^15-1 (the old [B, 2] layout
+    clamped both). A ~40 kbp read of pure genome content yields read_kmers
+    ~ 40k > 32767."""
+    rng = np.random.default_rng(777)
+    table, small, genomes = _world(tmp_path, rng)
+    g0 = list(genomes.values())[0]
+    long_seq = (g0 * 11)[:40_000]
+    reads = [("huge z", long_seq)]
+    fastq = write_fastq(tmp_path / "huge.fastq", reads)
+
+    cfg = MatchConfig(k=K, classify=True)
+    m = Matcher(table, small, cfg, db_md5="f00", batch_size=8)
+    m.long_read_threshold = 10_000         # read is long -> singleton batch
+    res = m.run([str(fastq)])
+
+    golden = GoldenMatcher(table, small, K, classify=True)
+    golden.match_read(seq_to_codes(long_seq))
+    T = len(small)
+    g = golden.stats
+    want_rk = [g[t].reads_kmers for t in range(T)]
+    assert max(want_rk) > 32767            # the clamp would bite here
+    np.testing.assert_array_equal(m.reads_kmers, want_rk)
+    np.testing.assert_array_equal(m.reads, [g[t].reads for t in range(T)])
+    np.testing.assert_array_equal(m.kmers, [g[t].kmers for t in range(T)])
+    np.testing.assert_allclose(
+        m.class_error_sum, [g[t].class_error_sum for t in range(T)],
+        rtol=0, atol=1e-12)
+
+
 def test_odd_chunk_boundary_sizes(tmp_path):
     """Chunk window counts that don't divide the read length, reads barely
     over the threshold, and a run spanning a chunk boundary."""

@@ -33,6 +33,31 @@ def test_build_dedup_first_wins():
     np.testing.assert_array_equal(pos[:4], [0, 1, 2, 3])
 
 
+def test_add_pairs_unsorted_duplicate_free_alignment():
+    # Regression (round-4 advisor, high): a duplicate-free UNSORTED
+    # add_pairs chunk must keep values aligned to their k-mers through
+    # build()'s sort. Previously keys were sorted without the values.
+    b = TableBuilder(31)
+    for v in ("a", "b", "c"):
+        b.get_add_value_index(v)
+    b.add_pairs(np.array([30, 10, 20], np.uint64), np.array([0, 1, 2], np.int32))
+    t = b.build()
+    np.testing.assert_array_equal(t.keys, [10, 20, 30])
+    np.testing.assert_array_equal(t.value_idx, [1, 2, 0])
+
+
+def test_add_pairs_duplicates_first_wins_unsorted():
+    b = TableBuilder(31)
+    for v in ("a", "b", "c"):
+        b.get_add_value_index(v)
+    # duplicate key 20: the FIRST pair (20 -> 2) wins
+    b.add_pairs(np.array([30, 20, 10, 20], np.uint64),
+                np.array([0, 2, 1, 0], np.int32))
+    t = b.build()
+    np.testing.assert_array_equal(t.keys, [10, 20, 30])
+    np.testing.assert_array_equal(t.value_idx, [1, 2, 0])
+
+
 def test_host_lookup_random():
     rng = np.random.default_rng(1)
     t, kmers = random_table(rng, 1000)

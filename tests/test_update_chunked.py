@@ -70,7 +70,7 @@ def test_chunked_update_equals_sequential(tree, chunk_kmers):
                         chunk_kmers=chunk_kmers)
     for taxid, seq in regions:
         updater._region(b"X", seq, None, tree.get(taxid))
-    updater.flush()
+    updater.finalize()
 
     got = {km: table.values[table.value_idx[i]]
            for i, km in enumerate(table.keys.tolist())}
@@ -89,6 +89,6 @@ def test_single_chunk_multi_node_fold(tree):
                         chunk_kmers=1 << 24)
     updater._region(b"X", g, None, tree.get("11060"))   # LCA -> 12637
     updater._region(b"X", g, None, tree.get("9606"))    # LCA -> 1 (root)
-    updater.flush()
+    updater.finalize()
     taxids = {table.values[v] for v in table.value_idx.tolist()}
     assert taxids == {"1"}
