@@ -154,6 +154,10 @@ _KEYS = [
     # link bandwidth can absorb the final value-vector pull; tunneled dev
     # chips stay on the host path)
     Key("dbDeviceUpdate", "str", "auto"),
+    # persist the derived quotient-hash in the final db zip (bigger file,
+    # instant match-time load — the reference similarly serializes its
+    # store's internal layout, ref store/Database.java:201-250)
+    Key("dbSaveLookupHash", "bool", True),
 ]
 
 KEYS: dict[str, Key] = {k.name: k for k in _KEYS}

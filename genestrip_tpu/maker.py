@@ -930,7 +930,8 @@ class _FinalDBGoal(FileGoal):
         self.tempdb = tempdb
 
     def make_file(self, f):
-        self.updatedb.get().save(f)
+        self.updatedb.get().save(
+            f, include_hash=self.project["dbSaveLookupHash"])
         if self.project["removeTempDB"]:
             self.tempdb.clean()
             tdi = self.project.temp_db_info_file
@@ -1001,7 +1002,8 @@ class _MatchResGoal(ObjectGoal):
                               max_kmer_res_counts=p["maxKMerResCounts"],
                               write_all=p["writeAll"],
                               shard_db=p["dbShard"],
-                              shard_db_min_bytes=p["dbShardMinBytes"])
+                              shard_db_min_bytes=p["dbShardMinBytes"],
+                              prebuilt_hash=getattr(db, "prebuilt_hash", None))
             matcher.with_probs = p["withProbs"]
             matcher.progress = p["progressBar"]
             matcher.progress_interval_ms = p["progressBarUpdateMs"]

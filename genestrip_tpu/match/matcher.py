@@ -38,7 +38,8 @@ class Matcher:
                  db_md5: str = "", batch_size: int = 4096, max_kmer_res_counts: int = 0,
                  write_all: bool = True, devices=None,
                  shard_db: str | bool = "auto",
-                 shard_db_min_bytes: int = 4 << 30):
+                 shard_db_min_bytes: int = 4 << 30,
+                 prebuilt_hash=None):
         """devices: device list for data-parallel matching (default: all
         visible devices; with more than one, batches are sharded over a
         jax.sharding.Mesh and per-node stats psum-merged — the TPU
@@ -81,7 +82,7 @@ class Matcher:
         self._sharded_steps: dict = {}
         # device-side constants (quotient-hash rows + small value-aux table)
         from genestrip_tpu.match.pipeline import build_match_arrays
-        sa, self._spec = build_match_arrays(table, tree)
+        sa, self._spec = build_match_arrays(table, tree, ht=prebuilt_hash)
         self._rows, self._vaux = sa["rows"], sa["vaux"]
         self._vidx_of_slot = sa["vidx_of_slot"]
         self._n_table = sa["n"]

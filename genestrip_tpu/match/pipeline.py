@@ -142,7 +142,7 @@ class TableSpec:
     nb_bits: int
 
 
-def build_match_arrays(table, tree):
+def build_match_arrays(table, tree, ht=None):
     """Device lookup arrays for matching + their TableSpec.
 
     Returns ({rows, vaux, vidx_of_slot}, spec): `rows` is the quotient-hash
@@ -152,8 +152,12 @@ def build_match_arrays(table, tree):
     the taxonomy data (the value table is tiny, so this gather is cheap —
     unlike per-entry fused planes, which would widen the hot hash rows 3x).
     vidx_of_slot maps unique-counter slots back to values for host-side
-    aggregation (ref KMerUniqueCounterBits.getUniqueKmerCounts)."""
-    ht = build_hash(table.keys, table.value_idx)
+    aggregation (ref KMerUniqueCounterBits.getUniqueKmerCounts).
+
+    ht: optional prebuilt KmerHashTable (e.g. persisted in the db zip,
+    store/database.py) — skips the hash build."""
+    if ht is None:
+        ht = build_hash(table.keys, table.value_idx)
     nov = tree.node_of_value(table).astype(np.int32)
     nv = len(nov)
     safe = np.maximum(nov, 0)

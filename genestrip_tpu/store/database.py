@@ -23,6 +23,7 @@ from genestrip_tpu.tax.small import SmallTaxTree
 
 TABLE_FILE = "table.npz"
 TAXTREE_FILE = "taxtree.json"
+HASH_FILE = "hash.npz"
 CONFIG_INFO_FILE = "configInfo.properties"
 
 DB_MD5 = "dbMD5"
@@ -33,6 +34,11 @@ class Database:
         self.table = table
         self.tree = tree
         self.config_info = dict(config_info or {})
+        # Optional persisted quotient-hash (derived data; see save()) — the
+        # matcher uses it to skip the hash build at load time. The reference
+        # likewise serializes its store's internal layout + pre-filter
+        # directly (ref: store/Database.java:201-250 db.ser/bloom.ser).
+        self.prebuilt_hash = None
 
     def init_store_indices(self) -> None:
         """ref: Database.initStoreIndices — pre-order value-index assignment."""
@@ -56,7 +62,13 @@ class Database:
 
     # -- persistence ---------------------------------------------------------
 
-    def save(self, path) -> None:
+    def save(self, path, include_hash: bool = False) -> None:
+        """Write the zip. With include_hash, the derived quotient-hash
+        (store/hash.py) is persisted as an extra STORED entry so match runs
+        skip the hash build at load time — used for the final db, not the
+        tempdb (whose values the update phase still rewrites). The MD5 covers
+        only table + taxonomy (the hash is derived data), so hash presence
+        does not change database identity."""
         buf = io.BytesIO()
         self.table.save_npz(buf)
         table_bytes = buf.getvalue()
@@ -69,6 +81,20 @@ class Database:
             z.writestr(TABLE_FILE, table_bytes)
             z.writestr(TAXTREE_FILE, tree_bytes)
             z.writestr(CONFIG_INFO_FILE, _props_bytes(self.config_info))
+            if include_hash:
+                if self.prebuilt_hash is None:
+                    from genestrip_tpu.store.hash import build_hash
+                    self.prebuilt_hash = build_hash(self.table.keys,
+                                                    self.table.value_idx)
+                ht = self.prebuilt_hash
+                hbuf = io.BytesIO()
+                np.savez(hbuf, rows=ht.rows,
+                         nb_bits=np.int64(ht.nb_bits),
+                         slot_of_entry=ht.slot_of_entry.astype(np.int64))
+                # STORED: the packed rows are high-entropy; deflate would
+                # cost tens of seconds for a few % size
+                z.writestr(zipfile.ZipInfo(HASH_FILE), hbuf.getvalue(),
+                           compress_type=zipfile.ZIP_STORED)
 
     @staticmethod
     def load(path) -> "Database":
@@ -76,7 +102,18 @@ class Database:
             table = KmerTable.load_npz(io.BytesIO(z.read(TABLE_FILE)))
             tree = SmallTaxTree.from_json(z.read(TAXTREE_FILE).decode())
             config_info = _parse_props(z.read(CONFIG_INFO_FILE).decode())
+            prebuilt = None
+            if HASH_FILE in z.namelist():
+                from genestrip_tpu.store.hash import (
+                    KmerHashTable, vidx_of_slot_from_rows)
+                with np.load(io.BytesIO(z.read(HASH_FILE))) as h:
+                    rows = h["rows"]
+                    nb_bits = int(h["nb_bits"])
+                    soe = h["slot_of_entry"]
+                prebuilt = KmerHashTable(
+                    rows, nb_bits, soe, vidx_of_slot_from_rows(rows, nb_bits))
         db = Database(table, tree, config_info)
+        db.prebuilt_hash = prebuilt
         db.init_store_indices()
         return db
 

@@ -163,3 +163,42 @@ def test_join_2d_shape_and_tiny_table():
     assert f.shape == (64, 64)
     assert f.sum() == 2
     assert v[0, 5] == 1 and v[1, 13] == 0
+
+
+def test_hash_persistence_roundtrip(tmp_path):
+    """The hash persisted in the db zip (store/database.py save include_hash)
+    must reload bit-identically, and a loaded db must expose it."""
+    from genestrip_tpu.store.database import Database
+    from genestrip_tpu.store.hash import vidx_of_slot_from_rows
+    from genestrip_tpu.store.table import KmerTable
+    from genestrip_tpu.tax.small import SmallTaxTree
+
+    keys, vidx = _world(20_000, seed=5, vmax=50)
+    values = [str(1000 + i) for i in range(int(vidx.max()) + 1)]
+    table = KmerTable(31, keys, vidx.astype(np.int32), values)
+    taxids = ["1"] + values
+    parent = np.full(len(taxids), 0, np.int32)
+    parent[0] = -1
+    tree = SmallTaxTree(taxids, taxids, [-1] * len(taxids), parent,
+                        np.zeros(len(taxids), bool))
+    db = Database(table, tree, {})
+    p = tmp_path / "db.zip"
+    db.save(p, include_hash=True)
+
+    loaded = Database.load(p)
+    assert loaded.prebuilt_hash is not None
+    want = build_hash(keys, table.value_idx)
+    got = loaded.prebuilt_hash
+    assert got.nb_bits == want.nb_bits
+    np.testing.assert_array_equal(got.rows, want.rows)
+    np.testing.assert_array_equal(got.slot_of_entry, want.slot_of_entry)
+    np.testing.assert_array_equal(got.vidx_of_slot, want.vidx_of_slot)
+    # derivation helper agrees with the builder's direct vidx_of_slot
+    np.testing.assert_array_equal(
+        vidx_of_slot_from_rows(want.rows, want.nb_bits), want.vidx_of_slot)
+    # MD5 identity is unaffected by the hash entry
+    db2 = Database(table, tree, {})
+    p2 = tmp_path / "db2.zip"
+    db2.save(p2, include_hash=False)
+    assert Database.load(p2).md5 == loaded.md5
+    assert Database.load(p2).prebuilt_hash is None
