@@ -2,26 +2,34 @@
 like the reference's human_virus micro-benchmark (small curated DB, 150 bp
 reads, ~half of the reads classifiable).
 
-Emits one JSON line per metric; the HEADLINE metric (device-pipeline
-classification reads/s/chip) is printed LAST:
+Emits one JSON line per metric. The HEADLINE metric (device-pipeline
+classification reads/s/chip) runs FIRST — a later phase stall can then never
+eat it — and its line is RE-PRINTED after every later phase, so the LAST
+stdout line is always the headline once it exists (the driver parses the
+last line). Metrics:
 
-  1. k-mer lookup throughput (lookups/s) — the match hot op alone.
-  2. DB build wall-clock on a synthetic category (bases/s).
-  3. host input pipeline (gzip fastq -> packed batches, reads/s) and
+  1. classification throughput, device pipeline (HEADLINE, reads/s/chip).
+  2. k-mer lookup throughput (lookups/s) — the match hot op alone.
+  3. DB build wall-clock on a synthetic category (bases/s).
+  4. host input pipeline (gzip fastq -> packed batches, reads/s) and
      end-to-end reads/s from a gzip fastq on disk through the full Matcher.
      NOTE: on this axon-tunneled chip, device->host pulls run at ~0.1 MB/s
      with ~25 ms RTT (measured) — orders of magnitude below a real TPU host
      link — so the end-to-end figure is a lower bound dominated by the
      tunnel, not by the pipeline.
-  4. device-pipeline classification reads/s/chip (batches staged on device,
-     as a production input pipeline keeps them).
 
 Each phase runs in its OWN subprocess: executing some graphs over the axon
 tunnel can degrade the session for everything after them in-process
 (empirically: the lookup micro-benchmark left subsequent identical
 match_step calls ~2500x slower; in a fresh process the same steps run at
-0.3 ms). Per-phase isolation + a per-phase timeout keeps one wedged phase
-from corrupting or killing the rest.
+0.3 ms). Per-phase isolation + a per-phase timeout + a global deadline keep
+one wedged phase from corrupting or killing the rest.
+
+The 16M-key world (table keys, quotient-hash rows, genome) is built ONCE by
+a cache phase and memoized as .npy files under --cache-dir; every phase
+subprocess mmap-loads from there (build ~70s, load ~1s) — without this each
+phase paid the full world build and round 4's bench overran the driver
+budget (BENCH_r04 rc=124).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md) and cannot run
 here (no JVM). The constant below is a deliberately generous estimate of its
@@ -43,22 +51,20 @@ BASELINE_READS_PER_SEC = 250_000.0
 BASELINE_LOOKUPS_PER_SEC = 250_000.0 * 120     # reads/s x windows/read
 BASELINE_DB_BASES_PER_SEC = 2_000_000.0        # "viral: minutes" README.md:129
 
+HEADLINE_METRIC = ("classification throughput (k=31, 150bp reads, "
+                   "16M-kmer DB, device pipeline)")
 
-def build_world(n_genome_bp: int, n_taxa: int, seed: int = 7, k: int = 31):
-    from genestrip_tpu.ops.kmer import window_kmers_np
-    from genestrip_tpu.store.table import TableBuilder
 
-    rng = np.random.default_rng(seed)
-    genome = rng.integers(0, 4, size=n_genome_bp, dtype=np.int64).astype(np.uint8)
-    kmers, valid = window_kmers_np(genome, k)
-    kmers = kmers[valid]
-    builder = TableBuilder(k)
-    bounds = np.linspace(0, len(kmers), n_taxa + 1).astype(np.int64)
-    for t in range(n_taxa):
-        builder.add(kmers[bounds[t]:bounds[t + 1]], str(1000 + t))
-    table = builder.build()
+# ---------------------------------------------------------------------------
+# synthetic world (taxonomy is cheap and rebuilt per phase; the table/hash/
+# genome are heavy and cached on disk)
+# ---------------------------------------------------------------------------
 
-    # simple binary-ish taxonomy over the taxa + root chain
+def build_tax(n_taxa: int):
+    """Binary-ish taxonomy over the taxa + root chain; returns
+    (SmallTaxTree, node_of_value int32 [n_taxa])."""
+    from genestrip_tpu.tax.small import SmallTaxTree
+
     n_nodes = n_taxa + n_taxa // 4 + 1
     parent = np.full(n_nodes, -1, np.int32)
     for i in range(1, n_taxa // 4 + 1):
@@ -75,12 +81,30 @@ def build_world(n_genome_bp: int, n_taxa: int, seed: int = 7, k: int = 31):
     for i in range(n_nodes):
         if parent[i] >= 0:
             parent2[ren[i]] = ren[parent[i]]
-    from genestrip_tpu.tax.small import SmallTaxTree
     taxids = [str(2000 + i) for i in range(n_nodes)]
     tree = SmallTaxTree(taxids, taxids, [-1] * n_nodes, parent2,
                         np.zeros(n_nodes, bool))
     node_of_value = np.array(
         [int(ren[n_taxa // 4 + 1 + t]) for t in range(n_taxa)], np.int32)
+    return tree, node_of_value
+
+
+def build_world(n_genome_bp: int, n_taxa: int, seed: int = 7, k: int = 31):
+    """(table, tree, node_of_value, genome) — used by the cache phase and by
+    probe scripts; bench phases load the cached arrays instead."""
+    from genestrip_tpu.ops.kmer import window_kmers_np
+    from genestrip_tpu.store.table import TableBuilder
+
+    rng = np.random.default_rng(seed)
+    genome = rng.integers(0, 4, size=n_genome_bp, dtype=np.int64).astype(np.uint8)
+    kmers, valid = window_kmers_np(genome, k)
+    kmers = kmers[valid]
+    builder = TableBuilder(k)
+    bounds = np.linspace(0, len(kmers), n_taxa + 1).astype(np.int64)
+    for t in range(n_taxa):
+        builder.add(kmers[bounds[t]:bounds[t + 1]], str(1000 + t))
+    table = builder.build()
+    tree, node_of_value = build_tax(n_taxa)
     nov = np.full(table.n_values, -1, np.int32)
     nov[: len(node_of_value)] = node_of_value
     return table, tree, nov, genome
@@ -110,23 +134,197 @@ def emit(metric, value, unit, baseline):
 
 
 # ---------------------------------------------------------------------------
+# world cache
+# ---------------------------------------------------------------------------
+
+def cache_dir_for(args) -> str:
+    base = args.cache_dir or os.environ.get(
+        "GENESTRIP_BENCH_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache"))
+    tag = f"w{args.db_bp}_{args.taxa}_k31_s7_r{args.e2e_reads}"
+    return os.path.join(base, tag)
+
+
+def ensure_cache(args) -> str:
+    """Build (if missing) and return the world cache dir."""
+    d = cache_dir_for(args)
+    done = os.path.join(d, "DONE")
+    if os.path.exists(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    t0 = time.time()
+    table, tree, nov, genome = build_world(args.db_bp, args.taxa)
+    from genestrip_tpu.store.hash import build_hash
+    ht = build_hash(table.keys, table.value_idx)
+    np.save(os.path.join(d, "keys.npy"), table.keys)
+    np.save(os.path.join(d, "value_idx.npy"), table.value_idx)
+    np.save(os.path.join(d, "genome.npy"), genome)
+    np.save(os.path.join(d, "rows.npy"), ht.rows)
+    np.save(os.path.join(d, "soe.npy"), ht.slot_of_entry)
+    np.save(os.path.join(d, "nov.npy"), nov)
+    meta = {"k": 31, "nb_bits": ht.nb_bits, "n_slots": ht.n_slots,
+            "entries": table.entries, "n_values": table.n_values,
+            "taxa": args.taxa}
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    # e2e fastq + single-batch warmup fastq
+    codes = make_reads(genome, args.e2e_reads, args.read_len, args.hit_frac)
+    _write_bench_fastq(os.path.join(d, "bench.fastq.gz"), codes,
+                       args.read_len)
+    _write_bench_fastq(os.path.join(d, "warm.fastq.gz"), codes[: args.batch],
+                       args.read_len)
+    with open(done, "w") as f:
+        f.write("ok\n")
+    print(f"# world cache built in {time.time() - t0:.1f}s at {d}",
+          flush=True)
+    return d
+
+
+class World:
+    """mmap-loaded cached world + cheaply rebuilt taxonomy/value tables."""
+
+    def __init__(self, args):
+        d = cache_dir_for(args)
+        if not os.path.exists(os.path.join(d, "DONE")):
+            raise SystemExit(f"world cache missing at {d}; run --phase cache")
+        self.dir = d
+        with open(os.path.join(d, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.rows_np = np.load(os.path.join(d, "rows.npy"), mmap_mode="r")
+        self.genome = np.load(os.path.join(d, "genome.npy"), mmap_mode="r")
+        self.tree, node_of_value = build_tax(self.meta["taxa"])
+        nov = np.load(os.path.join(d, "nov.npy"))
+        self.nov = nov
+        self.tree.node_of_value = lambda tb: nov          # bench tree glue
+
+    # -- lazy heavy pieces --------------------------------------------------
+
+    def keys(self):
+        return np.load(os.path.join(self.dir, "keys.npy"), mmap_mode="r")
+
+    def hash_table(self):
+        from genestrip_tpu.store.hash import (
+            KmerHashTable, vidx_of_slot_from_rows)
+        rows = np.ascontiguousarray(self.rows_np)
+        soe = np.load(os.path.join(self.dir, "soe.npy"), mmap_mode="r")
+        return KmerHashTable(rows, self.meta["nb_bits"], soe,
+                             vidx_of_slot_from_rows(rows, self.meta["nb_bits"]))
+
+    def table(self):
+        from genestrip_tpu.store.table import KmerTable
+        keys = np.load(os.path.join(self.dir, "keys.npy"))
+        vidx = np.load(os.path.join(self.dir, "value_idx.npy"))
+        values = [str(1000 + t) for t in range(self.meta["n_values"])]
+        return KmerTable(self.meta["k"], keys, vidx, values)
+
+    def match_arrays(self):
+        """(sa, spec, anc) device arrays straight from the cache — no table
+        object, no hash build (mirrors match/pipeline.build_match_arrays)."""
+        import jax.numpy as jnp
+        from genestrip_tpu.match.pipeline import TableSpec
+
+        tree, nov = self.tree, self.nov
+        nv = len(nov)
+        safe = np.maximum(nov, 0)
+        vaux = np.zeros((nv + 1, 4), np.int32)
+        vaux[:nv, 0] = nov
+        vaux[:nv, 1] = np.where(nov >= 0, tree.tout[safe], 0)
+        vaux[:nv, 2] = np.where(nov >= 0, tree.depth[safe], 0)
+        vaux[nv] = (-1, 0, 0, 0)
+        nb_bits = self.meta["nb_bits"]
+        n_slots = self.meta["n_slots"]
+        sa = {"rows": jnp.asarray(np.ascontiguousarray(self.rows_np)),
+              "vaux": jnp.asarray(vaux), "n": n_slots, "nb_bits": nb_bits}
+        return sa, TableSpec(n_slots, nb_bits), jnp.asarray(
+            tree.ancestor_at_depth)
+
+
+def _write_bench_fastq(fq, codes, read_len):
+    qual = b"I" * read_len
+    with gzip.open(fq, "wb", compresslevel=1) as f:
+        base_map = np.frombuffer(b"ACGT", np.uint8)
+        for s0 in range(0, len(codes), 4096):
+            blk = codes[s0:s0 + 4096]
+            txt = base_map[blk]
+            recs = []
+            for j in range(len(blk)):
+                recs.append(b"@r%d\n" % (s0 + j))
+                recs.append(txt[j].tobytes())
+                recs.append(b"\n+\n")
+                recs.append(qual)
+                recs.append(b"\n")
+            f.write(b"".join(recs))
+
+
+# ---------------------------------------------------------------------------
 # phases (each runs in its own process)
 # ---------------------------------------------------------------------------
 
-def _match_world(args):
+def phase_cache(args):
+    ensure_cache(args)
+
+
+def phase_device(args):
+    """HEADLINE: staged-batch classification throughput on the chip."""
+    import jax
     import jax.numpy as jnp
-    from genestrip_tpu.match.pipeline import MatchConfig, build_match_arrays
+    from genestrip_tpu.io.reads import _bucket_len
+    from genestrip_tpu.match.pipeline import (
+        MatchConfig, error_bounds, match_step)
+
+    w = World(args)
+    sa, spec, anc = w.match_arrays()
+    rows, vaux = sa["rows"], sa["vaux"]
+    cfg = MatchConfig(k=w.meta["k"], return_labels=False)
+    n_nodes = len(w.tree)
+    k = w.meta["k"]
+    B = args.batch
+    codes_all = make_reads(np.asarray(w.genome), args.reads, args.read_len,
+                           args.hit_frac)
+    L = _bucket_len(args.read_len)
+    n_batches = max(args.reads // B, 1)
+    staged = np.full((n_batches, B, L), 255, np.uint8)
+    staged[:, :, : args.read_len] = codes_all[: n_batches * B].reshape(
+        n_batches, B, args.read_len)
+    lengths = jnp.full((B,), args.read_len, jnp.int32)
+    bounds = jnp.asarray(error_bounds(
+        np.full(B, args.read_len, np.int32), k, cfg))
+    staged_d = jnp.asarray(staged)
+    seen = jnp.zeros(spec.n + 1, jnp.uint8)
+    counts = jnp.zeros(1, jnp.int32)
 
     t0 = time.time()
-    table, tree, nov, genome = build_world(args.db_bp, args.taxa)
-    tree.node_of_value = lambda tb: nov          # bench tree glue
-    sa, spec = build_match_arrays(table, tree)
-    anc = jnp.asarray(tree.ancestor_at_depth)
-    cfg = MatchConfig(k=table.k, return_labels=False)
+    out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
+                     staged_d[0], lengths, bounds, seen, counts)
+    seen, counts = out["seen"], out["counts"]
+    jax.block_until_ready(out["class_node"])
+    t_compile = time.time() - t0
+
+    # Block every step (dispatch queue pileup over the tunnel skews the
+    # measurement); report the best of two passes.
+    rps = 0.0
+    for rep in range(2):
+        t0 = time.time()
+        for i in range(n_batches):
+            ts = time.time()
+            out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
+                             staged_d[i], lengths, bounds, seen, counts)
+            seen, counts = out["seen"], out["counts"]
+            jax.block_until_ready(out["class_node"])
+            if args.loop_debug and rep == 0 and i < 8:
+                print(f"# step {i}: {(time.time() - ts) * 1e3:8.1f} ms",
+                      flush=True)
+        dt = time.time() - t0
+        rps = max(rps, n_batches * B / dt)
+    cls = int(jnp.sum((out["class_node"] >= 0).astype(jnp.int32)))
     if args.verbose:
-        print(f"# world build {time.time() - t0:.1f}s "
-              f"table={table.entries}", flush=True)
-    return table, tree, genome, sa, spec, anc, cfg
+        print(f"# compile={t_compile:.1f}s device loop: {n_batches * B} "
+              f"reads, best {n_batches * B / rps * 1e3:.1f} ms/pass; "
+              f"classified(last batch)={cls}/{B}; "
+              f"entries={w.meta['entries']}; device={jax.devices()[0]}",
+              flush=True)
+    emit(HEADLINE_METRIC, rps, "reads/s/chip", BASELINE_READS_PER_SEC)
 
 
 def phase_lookup(args):
@@ -135,11 +333,13 @@ def phase_lookup(args):
     from genestrip_tpu.ops.kmer import split_u64
     from genestrip_tpu.store.hash import lookup_join
 
-    table, tree, genome, sa, spec, anc, cfg = _match_world(args)
+    w = World(args)
+    sa, spec, _ = w.match_arrays()
     rows = sa["rows"]
+    keys = w.keys()
     rngq = np.random.default_rng(5)
     qk = np.concatenate([
-        table.keys[rngq.integers(0, len(table.keys), 1 << 19)],
+        np.asarray(keys[rngq.integers(0, len(keys), 1 << 19)]),
         rngq.integers(0, 1 << 62, 1 << 19, dtype=np.uint64)])
     q_hi, q_lo = split_u64(qk)
     q_hi_d = jnp.asarray(q_hi.view(np.int32))
@@ -157,7 +357,7 @@ def phase_lookup(args):
         jax.block_until_ready(lk(rows, q_hi_d, q_lo_d))
     lookup_ps = len(qk) * reps / (time.time() - t0)
     if args.verbose:
-        print(f"# lookup: {len(qk)} queries, found={int(nfound)}")
+        print(f"# lookup: {len(qk)} queries, found={int(nfound)}", flush=True)
     emit("k-mer lookup throughput (16M-key table, 1M queries/batch)",
          lookup_ps, "lookups/s/chip", BASELINE_LOOKUPS_PER_SEC)
 
@@ -213,132 +413,66 @@ def phase_dbbuild(args):
          bp * 2 / dt, "bases/s", BASELINE_DB_BASES_PER_SEC)
     if args.verbose:
         print(f"# db build: {dt:.1f}s, {tb2.entries} kmers, "
-              f"moved={upd.kmers_moved}")
-
-
-def _write_bench_fastq(fq, codes, read_len):
-    qual = b"I" * read_len
-    with gzip.open(fq, "wb", compresslevel=1) as f:
-        base_map = np.frombuffer(b"ACGT", np.uint8)
-        for s0 in range(0, len(codes), 4096):
-            blk = codes[s0:s0 + 4096]
-            txt = base_map[blk]
-            recs = []
-            for j in range(len(blk)):
-                recs.append(b"@r%d\n" % (s0 + j))
-                recs.append(txt[j].tobytes())
-                recs.append(b"\n+\n")
-                recs.append(qual)
-                recs.append(b"\n")
-            f.write(b"".join(recs))
+              f"moved={upd.kmers_moved}", flush=True)
 
 
 def phase_e2e(args):
-    import tempfile
-
     import jax
     from genestrip_tpu.io.reads import BatchPacker, parse_fastq_blocks
+    from genestrip_tpu.io.streams import ReadAhead
     from genestrip_tpu.match.matcher import Matcher
+    from genestrip_tpu.match.pipeline import MatchConfig
 
-    table, tree, genome, sa, spec, anc, cfg = _match_world(args)
-    codes = make_reads(genome, args.e2e_reads, args.read_len, args.hit_frac)
+    w = World(args)
     B = args.batch
-    with tempfile.TemporaryDirectory() as td:
-        fq = os.path.join(td, "bench.fastq.gz")
-        _write_bench_fastq(fq, codes, args.read_len)
-        # 3a. host input pipeline alone (gzip -> parse -> packed batches);
-        # this is the host-side ceiling a local-link chip would see
-        # (ref producer contract: fastq/AbstractFastqReader.java:88-185)
-        from genestrip_tpu.io.streams import ReadAhead
-        t0 = time.time()
-        n_parsed = 0
-        packer = BatchPacker(B)
-        with gzip.open(fq, "rb") as f:
-            for b_ in parse_fastq_blocks(ReadAhead(f), packer):
-                n_parsed += b_.n
-        parse_rps = n_parsed / (time.time() - t0)
-        emit("host input pipeline (gzip fastq -> packed 2-bit batches)",
-             parse_rps, "reads/s", BASELINE_READS_PER_SEC)
-        # 3b. full pipeline including device round trips; one full-batch
-        # warmup run first so XLA compilation stays out of the timed region
-        m = Matcher(table, tree, cfg, batch_size=B,
-                    devices=jax.local_devices()[:1])
-        m.progress = False
-        fq_warm = os.path.join(td, "warm.fastq.gz")
-        _write_bench_fastq(fq_warm, codes[:B], args.read_len)
-        m.run([fq_warm])
-        m.reset()
-        t0 = time.time()
-        m.run([fq])
-        e2e_rps = m.total_reads / (time.time() - t0)
+    fq = os.path.join(w.dir, "bench.fastq.gz")
+    # 4a. host input pipeline alone (gzip -> parse -> packed batches);
+    # this is the host-side ceiling a local-link chip would see
+    # (ref producer contract: fastq/AbstractFastqReader.java:88-185)
+    t0 = time.time()
+    n_parsed = 0
+    packer = BatchPacker(B)
+    with gzip.open(fq, "rb") as f:
+        for b_ in parse_fastq_blocks(ReadAhead(f), packer):
+            n_parsed += b_.n
+    parse_rps = n_parsed / (time.time() - t0)
+    emit("host input pipeline (gzip fastq -> packed 2-bit batches)",
+         parse_rps, "reads/s", BASELINE_READS_PER_SEC)
+    # 4b. full pipeline including device round trips; one full-batch
+    # warmup run first so XLA compilation stays out of the timed region
+    cfg = MatchConfig(k=w.meta["k"], return_labels=False)
+    m = Matcher(w.table(), w.tree, cfg, batch_size=B,
+                devices=jax.local_devices()[:1],
+                prebuilt_hash=w.hash_table())
+    m.progress = False
+    m.run([os.path.join(w.dir, "warm.fastq.gz")])
+    m.reset()
+    t0 = time.time()
+    m.run([fq])
+    e2e_rps = m.total_reads / (time.time() - t0)
     emit("end-to-end classification (gzip fastq -> CSV stats, incl. "
          "axon-tunnel h2d+d2h at ~1 MB/s)", e2e_rps, "reads/s/chip",
          BASELINE_READS_PER_SEC)
 
 
-def phase_device(args):
-    import jax
-    import jax.numpy as jnp
-    from genestrip_tpu.io.reads import _bucket_len
-    from genestrip_tpu.match.pipeline import error_bounds, match_step
-
-    table, tree, genome, sa, spec, anc, cfg = _match_world(args)
-    rows, vaux = sa["rows"], sa["vaux"]
-    n_nodes = len(tree)
-    k = table.k
-    B = args.batch
-    codes_all = make_reads(genome, args.reads, args.read_len, args.hit_frac)
-    L = _bucket_len(args.read_len)
-    n_batches = max(args.reads // B, 1)
-    staged = np.full((n_batches, B, L), 255, np.uint8)
-    staged[:, :, : args.read_len] = codes_all[: n_batches * B].reshape(
-        n_batches, B, args.read_len)
-    lengths = jnp.full((B,), args.read_len, jnp.int32)
-    bounds = jnp.asarray(error_bounds(
-        np.full(B, args.read_len, np.int32), k, cfg))
-    staged_d = jnp.asarray(staged)
-    seen = jnp.zeros(spec.n + 1, jnp.uint8)
-    counts = jnp.zeros(1, jnp.int32)
-
-    t0 = time.time()
-    out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
-                     staged_d[0], lengths, bounds, seen, counts)
-    seen, counts = out["seen"], out["counts"]
-    jax.block_until_ready(out["class_node"])
-    t_compile = time.time() - t0
-
-    # Block every step (dispatch queue pileup over the tunnel skews the
-    # measurement); report the best of two passes.
-    rps = 0.0
-    for rep in range(2):
-        t0 = time.time()
-        for i in range(n_batches):
-            ts = time.time()
-            out = match_step(cfg, spec, n_nodes, rows, vaux, anc,
-                             staged_d[i], lengths, bounds, seen, counts)
-            seen, counts = out["seen"], out["counts"]
-            jax.block_until_ready(out["class_node"])
-            if args.loop_debug and rep == 0 and i < 8:
-                print(f"# step {i}: {(time.time() - ts) * 1e3:8.1f} ms",
-                      flush=True)
-        dt = time.time() - t0
-        rps = max(rps, n_batches * B / dt)
-    cls = int(jnp.sum((out["class_node"] >= 0).astype(jnp.int32)))
-    if args.verbose:
-        print(f"# compile={t_compile:.1f}s device loop: {n_batches * B} "
-              f"reads, best {n_batches * B / rps * 1e3:.1f} ms/pass; "
-              f"classified(last batch)={cls}/{B}; table={table.entries}; "
-              f"device={jax.devices()[0]}")
-    emit("classification throughput (k=31, 150bp reads, 16M-kmer DB, "
-         "device pipeline)", rps, "reads/s/chip", BASELINE_READS_PER_SEC)
-
-
 PHASES = {
+    "cache": phase_cache,
+    "device": phase_device,
     "lookup": phase_lookup,
     "dbbuild": phase_dbbuild,
     "e2e": phase_e2e,
-    "device": phase_device,
 }
+
+# (phase, timeout_s) in run order; device = headline runs first so a later
+# stall can never eat it. The global --total-budget (default 18 min) skips
+# remaining phases once the clock runs low.
+PHASE_PLAN = [
+    ("cache", 900),
+    ("device", 480),
+    ("lookup", 240),
+    ("dbbuild", 300),
+    ("e2e", 360),
+]
 
 
 def main():
@@ -349,42 +483,67 @@ def main():
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--hit-frac", type=float, default=0.5)
-    ap.add_argument("--e2e-reads", type=int, default=64 * 1024)
+    ap.add_argument("--e2e-reads", type=int, default=16 * 1024)
     ap.add_argument("--dbbuild-bp", type=int, default=32_000_000)
-    ap.add_argument("--skip-e2e", action="store_true")
-    ap.add_argument("--skip-dbbuild", action="store_true")
-    ap.add_argument("--skip-lookup", action="store_true")
+    ap.add_argument("--cache-dir", default=None)
+    ap.add_argument("--skip", action="append", default=[],
+                    choices=sorted(PHASES), help="phase(s) to skip")
     ap.add_argument("--loop-debug", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--phase", choices=sorted(PHASES))
-    ap.add_argument("--phase-timeout", type=int, default=2400)
+    ap.add_argument("--total-budget", type=int, default=1080,
+                    help="global deadline (s); remaining phases are skipped")
     args = ap.parse_args()
 
     if args.phase:
         PHASES[args.phase](args)
         return
 
-    phases = []
-    if not args.skip_lookup:
-        phases.append("lookup")
-    if not args.skip_dbbuild:
-        phases.append("dbbuild")
-    if not args.skip_e2e:
-        phases.append("e2e")
-    phases.append("device")       # headline metric printed last
-
-    passthrough = sys.argv[1:]
-    for ph in phases:
+    t_start = time.time()
+    headline_line = None
+    passthrough = [a for a in sys.argv[1:]]
+    for ph, tmo in PHASE_PLAN:
+        if ph in args.skip:
+            continue
+        left = args.total_budget - (time.time() - t_start)
+        if ph != "cache" and headline_line is not None and left < 60:
+            print(f"# global budget exhausted before phase {ph} - skipping",
+                  file=sys.stderr, flush=True)
+            continue
         cmd = [sys.executable, os.path.abspath(__file__),
                "--phase", ph] + passthrough
+        env = dict(os.environ)
+        if ph in ("cache", "dbbuild"):
+            # host-only phases: keep them off the (wedgeable) tunnel
+            env["JAX_PLATFORMS"] = "cpu"
         try:
-            r = subprocess.run(cmd, timeout=args.phase_timeout)
+            r = subprocess.run(cmd, timeout=min(tmo, max(left, 60)),
+                               env=env, capture_output=True, text=True)
+            sys.stderr.write(r.stderr[-2000:] if r.stderr else "")
+            for line in (r.stdout or "").splitlines():
+                if not line.strip():
+                    continue
+                print(line, flush=True)
+                if HEADLINE_METRIC in line and line.lstrip().startswith("{"):
+                    headline_line = line
             if r.returncode != 0:
                 print(f"# phase {ph} exited with {r.returncode}",
                       file=sys.stderr, flush=True)
-        except subprocess.TimeoutExpired:
-            print(f"# phase {ph} timed out after {args.phase_timeout}s "
-                  f"(tunnel wedge?) - skipping", file=sys.stderr, flush=True)
+        except subprocess.TimeoutExpired as e:
+            out = e.stdout or ""
+            if isinstance(out, bytes):
+                out = out.decode(errors="replace")
+            for line in out.splitlines():
+                if line.strip():
+                    print(line, flush=True)
+                    if (HEADLINE_METRIC in line
+                            and line.lstrip().startswith("{")):
+                        headline_line = line
+            print(f"# phase {ph} timed out (tunnel wedge?) - skipping",
+                  file=sys.stderr, flush=True)
+        # keep the headline as the LAST stdout line at every point in time
+        if headline_line is not None and ph != "device":
+            print(headline_line, flush=True)
 
 
 if __name__ == "__main__":

@@ -71,10 +71,29 @@ def allgather_stats(tree):
 
     Returns the pytree with a leading process axis on every leaf (process 0
     first). Single-process: the same arrays with a length-1 leading axis.
+
+    All leaves are packed into ONE flat byte buffer so the exchange is a
+    single collective (leaf-wise process_allgather paid one Gloo round per
+    leaf — measured ~17 rounds for the matcher's stats tree). Leaf shapes
+    and dtypes must be identical on every process (they are: one fixed
+    taxonomy/slot geometry per database).
     """
     import numpy as np
     import jax
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(lambda a: np.asarray(a)[None], tree)
     from jax.experimental import multihost_utils
-    return multihost_utils.process_allgather(tree)
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    bufs = [np.ascontiguousarray(np.asarray(l)) for l in leaves]
+    flat = (np.concatenate([b.reshape(-1).view(np.uint8) for b in bufs])
+            if bufs else np.zeros(0, np.uint8))
+    g = multihost_utils.process_allgather(flat)        # [P, total_bytes]
+    out = []
+    off = 0
+    for b in bufs:
+        nb = b.nbytes
+        out.append(np.stack([
+            g[p, off:off + nb].view(b.dtype).reshape(b.shape)
+            for p in range(g.shape[0])]))
+        off += nb
+    return jax.tree_util.tree_unflatten(treedef, out)
