@@ -123,6 +123,9 @@ class BatchPacker:
                  with_probs: bool = False, long_threshold: int | None = None):
         self.batch_size = batch_size
         self.table = CODE_TABLE_LOWER if lowercase else CODE_TABLE
+        # bytes.translate runs the 256-entry LUT ~5.5x faster than a numpy
+        # uint8 gather (measured 860 MB/s vs 150 MB/s on this host)
+        self.table_bytes = self.table.tobytes()
         self.with_probs = with_probs
         self.long_threshold = long_threshold
         # pending segments: ("b", descs, seqs, probs, lens) byte lists or
@@ -161,8 +164,12 @@ class BatchPacker:
 
     # ---- block path (fast parser) ----------------------------------------
 
-    def add_block(self, buf: np.ndarray, d_s, d_e, s_s, s_e, q_s, q_e):
-        """Bulk-append records given as span arrays over a block buffer."""
+    def add_block(self, buf: np.ndarray, d_s, d_e, s_s, s_e, q_s, q_e,
+                  mapped: np.ndarray | None = None):
+        """Bulk-append records given as span arrays over a block buffer.
+
+        mapped: optional pre-translated 2-bit view of buf (the fast parser
+        computes it via bytes.translate on the raw block)."""
         n = len(d_s)
         if n == 0:
             return
@@ -172,7 +179,8 @@ class BatchPacker:
         else:
             long_idx = ()
         # 2-bit-map the whole block once; batches then need a single gather
-        mapped = self.table[buf]
+        if mapped is None:
+            mapped = self.table[buf]
         if len(long_idx) == 0:
             self._segs.append(("s", buf, (d_s, d_e, s_s, s_e, q_s, q_e), mapped))
             self._count += n
@@ -266,7 +274,8 @@ class BatchPacker:
                 seqs = seg[2]
                 if seqs:
                     lens = lengths[off:off + len(seqs)].astype(np.int64)
-                    flat = self.table[np.frombuffer(b"".join(seqs), np.uint8)]
+                    flat = np.frombuffer(
+                        b"".join(seqs).translate(self.table_bytes), np.uint8)
                     rows = np.repeat(np.arange(off, off + len(seqs)), lens)
                     cum = np.zeros(len(seqs) + 1, np.int64)
                     np.cumsum(lens, out=cum[1:])
@@ -293,18 +302,20 @@ class BatchPacker:
                                <= len(mapped))
                 else:
                     uniform = False
+                block = codes[off:off + k]
                 if uniform:
                     from numpy.lib.stride_tricks import as_strided
-                    block = np.ascontiguousarray(as_strided(
+                    # strided copy straight into the batch buffer (one copy,
+                    # no intermediate ascontiguousarray allocation)
+                    block[:] = as_strided(
                         mapped[int(s_s[0]):], shape=(k, L),
-                        strides=(stride, 1)))
+                        strides=(stride, 1))
                 else:
                     col64 = np.arange(L, dtype=np.int64)
                     src = s_s[:, None] + col64[None, :]
-                    block = np.take(mapped, src, mode="clip")
+                    np.take(mapped, src, mode="clip", out=block)
                 col = np.arange(L, dtype=np.int32)
                 block[col[None, :] >= lens[:, None]] = BAD
-                codes[off:off + k] = block
                 off += k
 
         desc_segs, seq_segs, prob_segs = [], [], []
@@ -422,7 +433,9 @@ def parse_fastq_blocks(stream, packer: BatchPacker, block_size: int = 1 << 22):
         if not ok:
             yield from parse_fastq(_Chain(data, stream), packer)
             return
-        packer.add_block(arr, d_s, d_e, s_s, s_e, q_s, q_e)
+        packer.add_block(arr, d_s, d_e, s_s, s_e, q_s, q_e,
+                         mapped=np.frombuffer(
+                             data.translate(packer.table_bytes), np.uint8))
         while packer.full():
             yield packer.flush()
     if carry:
