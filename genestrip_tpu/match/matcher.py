@@ -507,8 +507,12 @@ class Matcher:
         (multi-host file-level DP; see parallel/distributed.py). Statistic
         vectors sum; unique-counter 'seen' ORs, counts sum; max-contig picks
         the longest with ties broken by global (resource, read) order, so
-        the result equals a single-host run over all files (float error sums
-        aside — those add in per-process partial-sum order)."""
+        every integer/bit statistic equals a single-host run over all files
+        exactly. The float64 error accumulators sum per-process partials in
+        process order — deterministic, but potentially a few ulps from the
+        single-host read-order sum (the reference's multi-threaded runs are
+        likewise order-sensitive there; its goldens pin THREADS=0 for that
+        reason, ref ComprehensiveMatchTest.java:122)."""
         allgather = allgather or dist.allgather_stats
         T = self.n_nodes
         desc_w = 256

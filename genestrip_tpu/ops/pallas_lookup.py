@@ -11,10 +11,14 @@ Pallas pipeline, all compares on the VPU, results written as packed int32.
 Ref role: the in-bucket probe of store/KMerSortedArray.java:298-349 /
 RadixKMerStore.java:38-88 (SURVEY §7 M5 [HOT] rows). Parity with the XLA
 path is tested in interpret mode on CPU (tests/test_pallas_lookup.py);
-scripts/probe_pallas_dense.py measures both on hardware. lookup_join picks
-this kernel when `use_pallas` is set (see measurements in the probe —
-whichever path wins on the deployment chip can be made the default; they
-are bit-identical).
+scripts/probe_pallas_dense.py measures both on hardware.
+
+DECISION (v5e, VERDICT r4 item 4): the XLA lowering is the production path
+unconditionally — it fuses to ~0.1 ms per 1M queries (9.75 G lookups/s
+measured through lookup_join), while this kernel exceeds the 16 MiB
+scoped-VMEM stack limit at the 16M-key bench shape (24.2M for the
+[8.4M, 4] call) and measured no faster at smaller shapes. Kept (with its
+parity test + probe) as documentation of the investigated alternative.
 
 Output packing: one int32 per (bucket, lane):
   -1                  -> no slot matched

@@ -11,8 +11,13 @@ replacement is process-level data parallelism over `jax.distributed`:
   fan-out (ref: goals/refseq/FastaReaderGoal.java:101-160);
 * per-tax-id statistic vectors and the unique-k-mer seen/count vectors are
   merged across processes at aggregation time (sum / OR / first-achiever
-  tie-break keyed by global resource order, so the merged result is
-  bit-identical to a single-host run over all files);
+  tie-break keyed by global resource order). Every INTEGER/bit statistic
+  (reads, kmers, contigs, unique bits, max-contig achiever) is bit-identical
+  to a single-host run over all files; the float64 error accumulators are
+  summed as per-process partials in process order, which is deterministic
+  but may differ from single-host read-order addition in the last ulps
+  (exact equality would require replaying every read's addend in global
+  read order — see Matcher._merge_across_processes);
 * per-read outputs (kraken-style, filtered fastq) stay host-local — each
   process writes the lines of its own resources.
 

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from genestrip_tpu.ops.kmer import merge_u64, split_u64
+from genestrip_tpu.ops.kmer import split_u64
 
 # Maximum number of distinct values. The reference's sorted array caps at
 # 65,535 (KMerSortedArray.MAX_VALUES) and its radix store at ~512k
@@ -205,53 +205,6 @@ class KmerTable:
             }
         return self._device
 
-    def radix_bits(self) -> int:
-        """Radix width for the bucketed lookup: ~N/4 direct-indexed buckets
-        keeps the in-bucket binary search at ~3-4 probes while the bucket
-        table stays ≲ N ints (ref: the role of RadixKMerStore's radixBits,
-        re-tuned for lock-step SIMD lanes instead of cache lines)."""
-        n = max(len(self.keys), 2)
-        return int(np.clip(int(np.ceil(np.log2(n))) - 2, 1, min(26, 2 * self.k)))
-
-    def search_arrays(self, aux: np.ndarray | None = None) -> dict:
-        """Device arrays for the radix-bucketed interleaved-row lookup.
-
-        Layout (all derived data, rebuilt at load):
-          inter [N+1, 2+A] int32 — per entry: key-hi, key-lo (uint32 bit
-            patterns) and A caller-provided aux planes (e.g. tax-node index,
-            tout, depth), interleaved so ONE row gather per probe fetches
-            key and payload together (measured ~3x cheaper than split
-            gathers on TPU; the +1 row is an always-mismatching pad so
-            clamped probes stay in bounds).
-          bucket_start [2^r + 1] int32 — direct-indexed span per radix
-            prefix of the top r bits of the 2k-bit key space.
-        """
-        hi, lo = split_u64(self.keys)
-        n = len(self.keys)
-        r = self.radix_bits()
-        shift = 2 * self.k - r
-        radix = (self.keys >> np.uint64(shift)).astype(np.int64)
-        bucket_start = np.searchsorted(radix, np.arange((1 << r) + 1)).astype(np.int32)
-        max_bucket = int(np.max(bucket_start[1:] - bucket_start[:-1])) if n else 0
-        planes = [hi.view(np.int32), lo.view(np.int32)]
-        if aux is not None:
-            aux = np.asarray(aux, dtype=np.int32)
-            if aux.ndim == 1:
-                aux = aux[:, None]
-            planes.extend(aux[:, i] for i in range(aux.shape[1]))
-        inter = np.stack(planes, axis=1)
-        # pad row: key bits that can never match a real canonical k-mer
-        pad = np.full((1, inter.shape[1]), -1, np.int32)
-        inter = np.concatenate([inter, pad], axis=0)
-        return {
-            "inter": jnp.asarray(inter),
-            "bucket_start": jnp.asarray(bucket_start),
-            "n": n,
-            "radix_bits": r,
-            "shift": shift,
-            "iters": max(int(np.ceil(np.log2(max_bucket + 1))), 1) if n else 1,
-        }
-
     # -- persistence ---------------------------------------------------------
 
     def save_npz(self, path) -> None:
@@ -287,59 +240,15 @@ def _lt(a_hi, a_lo, b_hi, b_lo):
     return (a_hi < b_hi) | ((a_hi == b_hi) & (a_lo < b_lo))
 
 
-def _bitcast_u32(x):
-    return jax.lax.bitcast_convert_type(x, jnp.uint32)
-
-
-def lookup_radix(inter, bucket_start, q_hi, q_lo, *, n: int, iters: int,
-                 shift: int):
-    """Radix-bucketed interleaved-row lookup — the production device path.
-
-    The top r bits of each query select its bucket span from `bucket_start`;
-    a short branchless binary search runs inside the bucket. Each probe is a
-    single row gather from `inter` [N+1, 2+A], so key-hi, key-lo and the A
-    aux planes arrive together (~3x cheaper than separate gathers, measured
-    on TPU v5e). Replaces the reference's bloom-probe + binary search
-    (ref: KMerSortedArray.getLong:298-349) and radix-bucket search
-    (ref: RadixKMerStore class doc :38-88) with a lock-step SIMD design.
-
-    Args:
-      inter: [N+1, 2+A] int32 (row N is an unmatchable pad).
-      bucket_start: [2^r + 1] int32 prefix-sum bucket bounds.
-      q_hi/q_lo: uint32 query halves, any shape.
-      n/iters/shift: static — table size, search iterations, 2k - r.
-
-    Returns (pos int32, found bool, aux int32 [..., A]) — aux lanes are only
-    meaningful where found.
-    """
-    A = inter.shape[1] - 2
-    if n == 0:
-        z = jnp.zeros(q_hi.shape, jnp.int32)
-        return z, jnp.zeros(q_hi.shape, bool), jnp.zeros(q_hi.shape + (A,), jnp.int32)
-    if shift >= 32:
-        rx = (q_hi >> (shift - 32)).astype(jnp.int32)
-    else:
-        high = q_hi << (32 - shift) if shift > 0 else jnp.uint32(0)
-        rx = ((high | (q_lo >> shift)) if shift > 0 else q_hi).astype(jnp.int32)
-    lo0 = bucket_start[rx]
-    hi0 = bucket_start[rx + 1]
-
-    def body(_, st):
-        lo_, hi_ = st
-        mid = (lo_ + hi_) >> 1
-        row = inter[mid]
-        go = _lt(_bitcast_u32(row[..., 0]), _bitcast_u32(row[..., 1]), q_hi, q_lo)
-        return jnp.where(go, mid + 1, lo_), jnp.where(go, hi_, mid)
-
-    lo_, hi_ = jax.lax.fori_loop(0, iters, body, (lo0, hi0))
-    pos = jnp.minimum(lo_, n - 1)
-    row = inter[jnp.where(lo_ < hi0, pos, n)]
-    found = (_bitcast_u32(row[..., 0]) == q_hi) & (_bitcast_u32(row[..., 1]) == q_lo)
-    return pos, found, row[..., 2:]
-
-
 def lookup_positions(keys_hi, keys_lo, q_hi, q_lo, n: int):
     """Vectorized lower-bound binary search of queries in the sorted table.
+
+    This is the HOST-GOLDEN device lookup: the simplest possible exact
+    implementation, kept as the oracle unit tests compare against
+    (tests/test_table.py). The production match path uses the quotient hash
+    (store/hash.py lookup_join/lookup_hash); earlier radix-bucketed
+    alternates were removed once the hash won on measurement (VERDICT r4
+    item 6).
 
     Args:
       keys_hi/keys_lo: [N] uint32 sorted (as 64-bit pairs) table keys.

@@ -1,4 +1,7 @@
-"""Focused device probes for the match hot path, with all arrays generated
+"""What this established: XLA row-gathers cost ~13 ns/row regardless of
+locality/table size on this chip -> lookup cost scales with gather COUNT and
+WIDTH, which drove the 2-row-gather quotient hash (store/hash.py) and then
+the gather-free scatter-join. Probes run with all arrays generated
 ON DEVICE (jax.random) so nothing crosses the slow axon host link.
 
 Measures the design-deciding numbers:
@@ -96,35 +99,9 @@ for N in (16_000_000, 2_000_000):
     per = run_chain(mk, (q_hi0, q_lo0))
     report(f"hash lookup 1M from {N//1_000_000}M", per, Q, "lookup")
 
-# ---- radix lookup (current path) ---------------------------------------------
-from genestrip_tpu.store.table import KmerTable, lookup_radix
-
-N = 16_000_000
-rng = np.random.default_rng(1)
-keys64 = np.unique(rng.integers(0, 1 << 50, 2 * N, dtype=np.uint64))[:N]
-vidx = rng.integers(0, 1000, N).astype(np.uint16)
-tab = KmerTable(25, np.sort(keys64), vidx, [str(i) for i in range(1000)])
-aux = rng.integers(0, 1 << 20, (N, 3)).astype(np.int32)
-sa = tab.search_arrays(aux)
-inter, bstart = sa["inter"], sa["bucket_start"]
-q_hi0 = jax.random.randint(key, (Q,), 0, 1 << 18, jnp.int32).astype(jnp.uint32)
-q_lo0 = jax.random.randint(key, (Q,), 0, 1 << 30, jnp.int32).astype(jnp.uint32)
-
-
-def mk(iters):
-    @jax.jit
-    def f(qh, ql):
-        for _ in range(iters):
-            pos, found, aux_v = lookup_radix(inter, bstart, qh, ql, n=sa["n"],
-                                             iters=sa["iters"], shift=sa["shift"])
-            qh = qh + aux_v[:, 0].astype(jnp.uint32) + pos.astype(jnp.uint32)
-            ql = ql ^ pos.astype(jnp.uint32)
-        return (qh[0] + ql[0]).astype(jnp.float32)
-    return f
-
-
-per = run_chain(mk, (q_hi0, q_lo0))
-report("radix lookup 1M from 16M", per, Q, "lookup")
+# ---- (radix lookup section removed: lookup_radix was a round-2 alternate,
+# deleted from store/table.py once the quotient hash became the only
+# production path - VERDICT r4 item 6) -------------------------------------
 
 # ---- sorts / scatters ---------------------------------------------------------
 a0 = jax.random.randint(key, (Q,), 0, 1 << 30, jnp.int32)

@@ -86,9 +86,17 @@ def test_two_process_merge_equals_single_run(tmp_path):
     merged.reset()
     merged._merge_across_processes(_fake_allgather(locals_))
 
+    # integer statistics are BIT-identical to the single run; float error
+    # accumulators are deterministic per-process partial sums, allowed to
+    # differ from read-order addition in the last ulps (the documented
+    # contract, parallel/distributed.py)
     for f in Matcher._SUM_FIELDS:
-        np.testing.assert_allclose(getattr(merged, f), getattr(single, f),
-                                   rtol=0, atol=1e-9, err_msg=f)
+        a, b = getattr(merged, f), getattr(single, f)
+        if np.asarray(b).dtype.kind == "f":
+            np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12,
+                                       err_msg=f)
+        else:
+            np.testing.assert_array_equal(a, b, err_msg=f)
     assert (merged.total_reads, merged.total_kmers, merged.total_bps) == \
         (single.total_reads, single.total_kmers, single.total_bps)
     np.testing.assert_array_equal(merged.max_contig, single.max_contig)
