@@ -511,12 +511,132 @@ def phase_e2e(args):
          BASELINE_READS_PER_SEC)
 
 
+def phase_shard(args):
+    """Sharded-DB match step (SURVEY §5.8): hash rows bucket-range-sharded
+    over a mesh, queries all-gathered, shard partials psum-merged. On the
+    1-chip bench this exercises the full collective graph shape (trivial
+    collectives) — the metric is the overhead of the sharded graph vs the
+    replicated one (phase_device), not multi-chip scaling."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from genestrip_tpu.io.reads import _bucket_len
+    from genestrip_tpu.match.pipeline import MatchConfig, error_bounds
+    from genestrip_tpu.parallel import mesh as mesh_mod
+
+    w = World(args)
+    sa, spec, anc = w.match_arrays()
+    cfg = MatchConfig(k=w.meta["k"], return_labels=False)
+    n_nodes = len(w.tree)
+    B = args.batch
+    mesh = mesh_mod.make_mesh(jax.local_devices()[:1])
+    step = mesh_mod.make_sharded_match_step(mesh, cfg, spec, n_nodes,
+                                            shard_db=True)
+    rows = jax.device_put(sa["rows"], NamedSharding(mesh, P("reads")))
+    vaux = jax.device_put(sa["vaux"], NamedSharding(mesh, P()))
+    anc = jax.device_put(anc, NamedSharding(mesh, P()))
+    codes_all = make_reads(np.asarray(w.genome), 16 * B, args.read_len,
+                           args.hit_frac)
+    L = _bucket_len(args.read_len)
+    n_batches = 16
+    staged = np.full((n_batches, B, L), 255, np.uint8)
+    staged[:, :, : args.read_len] = codes_all.reshape(n_batches, B,
+                                                      args.read_len)
+    bsh = NamedSharding(mesh, P("reads"))
+    lengths = jax.device_put(np.full(B, args.read_len, np.int32), bsh)
+    bounds = jax.device_put(error_bounds(
+        np.full(B, args.read_len, np.int32), w.meta["k"], cfg), bsh)
+    seen, counts = mesh_mod.unique_state(spec.n, mesh, False)
+    staged_d = jax.device_put(staged[0], bsh)
+    out = step(rows, vaux, anc, staged_d, lengths, bounds, seen, counts)
+    seen, counts = out["seen"], out["counts"]
+    jax.block_until_ready(out["class_node"])
+    rps = 0.0
+    for rep in range(2):
+        t0 = time.time()
+        for i in range(n_batches):
+            out = step(rows, vaux, anc, jax.device_put(staged[i], bsh),
+                       lengths, bounds, seen, counts)
+            seen, counts = out["seen"], out["counts"]
+            jax.block_until_ready(out["class_node"])
+        rps = max(rps, n_batches * B / (time.time() - t0))
+    emit("sharded-DB classification (bucket-range rows + all-gather/psum "
+         "graph, 1-chip shape)", rps, "reads/s/chip", BASELINE_READS_PER_SEC)
+
+
+def phase_devupdate(args):
+    """Device-resident LCA update (db/build._DeviceUpdateEngine): the
+    production scatter-join searches region chunks against the hash on
+    device and rewrites the value vector in place. Chunks are pre-staged on
+    device and the engine's jitted step is driven directly, so the metric is
+    the DEVICE update rate — excluding the tunnel-bound h2d chunk uploads
+    and the one-time finalize pull (both ~GB/s on a real host link; the
+    auto gate db/build.link_d2h_bandwidth decides per machine)."""
+    import jax
+    import jax.numpy as jnp
+    from genestrip_tpu.db.build import _DeviceUpdateEngine
+
+    w = World(args)
+    table = w.table()
+    eng = _DeviceUpdateEngine(table, ht=w.hash_table())
+    rng = np.random.default_rng(17)
+    n_chunks, per = 8, 1 << 20
+    keys = w.keys()
+    staged = []
+    for _ in range(n_chunks):
+        c = np.concatenate([
+            np.asarray(keys[rng.integers(0, len(keys), per // 2)]),
+            rng.integers(0, 1 << 62, per // 2, dtype=np.uint64)])
+        c = np.unique(c)
+        c = np.concatenate([c, np.full(per - len(c), np.uint64(2**64 - 1))])
+        hi = (c >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        lo = (c & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        staged.append((jnp.asarray(hi), jnp.asarray(lo)))
+    nv = table.n_values
+    pair_map = np.arange(nv, dtype=np.int32)
+    pair_map[rng.integers(0, nv, nv // 4)] = 0      # a quarter move to "root"
+    pm = 1 << max(int(np.ceil(np.log2(nv))), 8)
+    pair_map = np.concatenate([pair_map, np.full(pm - nv, -1, np.int32)])
+    pm_d = jnp.asarray(pair_map)
+    hi0, lo0 = staged[0]
+    eng.vidx, eng.moved = eng._step(eng.rows, eng.slot_to_pos, eng.vidx,
+                                    eng.moved, hi0, lo0, pm_d,
+                                    nb_bits=eng.nb_bits)
+    jax.block_until_ready(eng.vidx)                  # compile + warmup
+    t0 = time.time()
+    for i_, (hi, lo) in enumerate(staged):
+        ts = time.time()
+        eng.vidx, eng.moved = eng._step(eng.rows, eng.slot_to_pos, eng.vidx,
+                                        eng.moved, hi, lo, pm_d,
+                                        nb_bits=eng.nb_bits)
+        # block every step: dispatch pileup over the tunnel is pathological
+        # (see module docstring) — same discipline as phase_device
+        jax.block_until_ready(eng.vidx)
+        if args.loop_debug:
+            print(f"# upd step {i_}: {(time.time() - ts) * 1e3:8.1f} ms",
+                  flush=True)
+    dt = time.time() - t0
+    # the moved-counter pull is a 4-byte d2h, but the tunnel's d2h path is
+    # erratically slow (measured 17-156 s for it!) — drain OUTSIDE the
+    # timed region; every step above is block_until_ready'd so dt is honest
+    moved = eng.drain_moved()
+    total = n_chunks * per
+    if args.verbose:
+        print(f"# devupdate: {total} kmers in {dt:.2f}s, moved={moved}",
+              flush=True)
+    emit("LCA update on device (scatter-join search + value rewrite, excl. "
+         "h2d/final pull)", total / dt, "kmers/s/chip",
+         BASELINE_DB_BASES_PER_SEC)
+
+
 PHASES = {
     "cache": phase_cache,
     "device": phase_device,
     "lookup": phase_lookup,
     "dbbuild": phase_dbbuild,
     "e2e": phase_e2e,
+    "shard": phase_shard,
+    "devupdate": phase_devupdate,
 }
 
 # (phase, timeout_s) in run order; device = headline runs first so a later
@@ -528,6 +648,8 @@ PHASE_PLAN = [
     ("lookup", 240),
     ("dbbuild", 300),
     ("e2e", 360),
+    ("shard", 300),        # secondary metrics: skipped first when the
+    ("devupdate", 240),    # global budget runs low
 ]
 
 

@@ -309,7 +309,7 @@ class _DeviceUpdateEngine:
     bandwidth gate in DBUpdater). Ref role: DBGoal.java:75-110 update loop;
     VERDICT r3 item 6 (device DB build)."""
 
-    def __init__(self, table: KmerTable):
+    def __init__(self, table: KmerTable, ht=None):
         import functools
 
         import jax
@@ -321,7 +321,8 @@ class _DeviceUpdateEngine:
         self._jax = jax
         n = len(table.keys)
         self.n = n
-        ht = build_hash(table.keys, table.value_idx)
+        if ht is None:
+            ht = build_hash(table.keys, table.value_idx)
         self.nb_bits = ht.nb_bits
         self.rows = jnp.asarray(ht.rows)
         s2p = np.full(ht.n_slots + 1, n, np.int64)
