@@ -316,9 +316,10 @@ def phase_device(args):
     t_compile = time.time() - t0
 
     # Block every step (dispatch queue pileup over the tunnel skews the
-    # measurement); report the best of two passes.
+    # measurement); report the best of three passes (per-step RTT jitter
+    # over the tunnel gives run-to-run variance well beyond device noise).
     rps = 0.0
-    for rep in range(2):
+    for rep in range(3):
         t0 = time.time()
         for i in range(n_batches):
             ts = time.time()
@@ -616,17 +617,17 @@ def phase_devupdate(args):
             print(f"# upd step {i_}: {(time.time() - ts) * 1e3:8.1f} ms",
                   flush=True)
     dt = time.time() - t0
-    # the moved-counter pull is a 4-byte d2h, but the tunnel's d2h path is
-    # erratically slow (measured 17-156 s for it!) — drain OUTSIDE the
-    # timed region; every step above is block_until_ready'd so dt is honest
-    moved = eng.drain_moved()
     total = n_chunks * per
-    if args.verbose:
-        print(f"# devupdate: {total} kmers in {dt:.2f}s, moved={moved}",
-              flush=True)
+    # emit BEFORE any d2h: the tunnel's d2h path is erratically slow
+    # (measured 17-156 s even for the 4-byte moved counter), and a pull
+    # before the metric line can eat the phase timeout. Every step above is
+    # block_until_ready'd so dt is honest.
     emit("LCA update on device (scatter-join search + value rewrite, excl. "
          "h2d/final pull)", total / dt, "kmers/s/chip",
          BASELINE_DB_BASES_PER_SEC)
+    if args.verbose:
+        print(f"# devupdate: {total} kmers in {dt:.2f}s, "
+              f"moved={eng.drain_moved()}", flush=True)
 
 
 PHASES = {
