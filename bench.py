@@ -25,6 +25,9 @@ last line). Metrics:
      ~0.1 MB/s with ~25 ms RTT (measured) — orders of magnitude below a
      real TPU host link — so the end-to-end figure is a lower bound
      dominated by the tunnel, not by the pipeline.
+  5. sharded-DB match step (bucket-range rows + all-gather/psum graph) and
+  6. the device-resident LCA update step — secondary metrics, skipped
+     first when the global budget runs low.
 
 Each phase runs in its OWN subprocess: executing some graphs over the axon
 tunnel can degrade the session for everything after them in-process
@@ -649,9 +652,9 @@ PHASE_PLAN = [
     ("lookup", 240),
     ("dbbuild", 300),
     ("e2e", 360),
-    ("shard", 300),        # secondary metrics: skipped first when the
-    ("devupdate", 240),    # global budget runs low
-]
+    ("shard", 420),        # secondary metrics: cold-cache remote compile
+    ("devupdate", 420),    # alone can take ~3-7 min; the global budget
+]                          # skips them first when the clock runs low
 
 
 def main():

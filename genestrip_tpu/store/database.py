@@ -90,7 +90,10 @@ class Database:
                 hbuf = io.BytesIO()
                 np.savez(hbuf, rows=ht.rows,
                          nb_bits=np.int64(ht.nb_bits),
-                         slot_of_entry=ht.slot_of_entry.astype(np.int64))
+                         slot_of_entry=ht.slot_of_entry.astype(np.int64),
+                         # identity stamp: load ignores a hash whose table
+                         # no longer matches (derived-data safety)
+                         db_md5=np.array(self.config_info[DB_MD5]))
                 # STORED: the packed rows are high-entropy; deflate would
                 # cost tens of seconds for a few % size
                 z.writestr(zipfile.ZipInfo(HASH_FILE), hbuf.getvalue(),
@@ -107,11 +110,16 @@ class Database:
                 from genestrip_tpu.store.hash import (
                     KmerHashTable, vidx_of_slot_from_rows)
                 with np.load(io.BytesIO(z.read(HASH_FILE))) as h:
-                    rows = h["rows"]
-                    nb_bits = int(h["nb_bits"])
-                    soe = h["slot_of_entry"]
-                prebuilt = KmerHashTable(
-                    rows, nb_bits, soe, vidx_of_slot_from_rows(rows, nb_bits))
+                    stamp = str(h["db_md5"]) if "db_md5" in h else None
+                    if stamp == config_info.get(DB_MD5):
+                        rows = h["rows"]
+                        nb_bits = int(h["nb_bits"])
+                        soe = h["slot_of_entry"]
+                        prebuilt = KmerHashTable(
+                            rows, nb_bits, soe,
+                            vidx_of_slot_from_rows(rows, nb_bits))
+                    # else: stale derived data (table edited without a
+                    # re-save) — fall back to building the hash at use
         db = Database(table, tree, config_info)
         db.prebuilt_hash = prebuilt
         db.init_store_indices()

@@ -202,3 +202,37 @@ def test_hash_persistence_roundtrip(tmp_path):
     db2.save(p2, include_hash=False)
     assert Database.load(p2).md5 == loaded.md5
     assert Database.load(p2).prebuilt_hash is None
+
+
+def test_hash_persistence_stale_stamp_ignored(tmp_path):
+    """A persisted hash whose db_md5 stamp mismatches the zip's table is
+    ignored at load (derived-data safety)."""
+    import io as _io
+    import zipfile
+    from genestrip_tpu.store.database import Database, HASH_FILE
+    from genestrip_tpu.store.table import KmerTable
+    from genestrip_tpu.tax.small import SmallTaxTree
+
+    keys, vidx = _world(5_000, seed=9, vmax=10)
+    values = [str(1000 + i) for i in range(int(vidx.max()) + 1)]
+    table = KmerTable(31, keys, vidx.astype(np.int32), values)
+    taxids = ["1"] + values
+    parent = np.full(len(taxids), 0, np.int32)
+    parent[0] = -1
+    tree = SmallTaxTree(taxids, taxids, [-1] * len(taxids), parent,
+                        np.zeros(len(taxids), bool))
+    p = tmp_path / "db.zip"
+    Database(table, tree, {}).save(p, include_hash=True)
+    # corrupt the stamp
+    with zipfile.ZipFile(p) as z:
+        names = {n: z.read(n) for n in z.namelist()}
+    with np.load(_io.BytesIO(names[HASH_FILE])) as h:
+        arrs = {k: h[k] for k in h.files}
+    arrs["db_md5"] = np.array("deadbeef")
+    buf = _io.BytesIO()
+    np.savez(buf, **arrs)
+    names[HASH_FILE] = buf.getvalue()
+    with zipfile.ZipFile(p, "w") as z:
+        for n, b in names.items():
+            z.writestr(n, b)
+    assert Database.load(p).prebuilt_hash is None
