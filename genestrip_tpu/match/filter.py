@@ -17,8 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from genestrip_tpu.io.reads import BatchPacker, parse_reads
-from genestrip_tpu.io.streams import StreamingResource
+from genestrip_tpu.io.reads import BatchPacker, batch_feeder, parse_reads
+from genestrip_tpu.io.streams import ReadAhead, StreamingResource
 from genestrip_tpu.ops.kmer import window_kmers
 from genestrip_tpu.store.index import KmerIndex
 from genestrip_tpu.store.hash import lookup_hash
@@ -66,7 +66,13 @@ class FastqFilter:
             packer = BatchPacker(self.batch_size, with_probs=self.with_probs)
             with res.open() as stream:
                 progress = Progress(f"filter {res.name}", res)
-                for batch in parse_reads(stream, packer, fasta):
+                # decompress + parse/pack overlap the device steps, as in
+                # the matcher (ref producer/consumer contract,
+                # fastq/AbstractFastqReader.java:88-118)
+                gen = batch_feeder(
+                    parse_reads(ReadAhead(stream), packer, fasta),
+                    prefetch=4)
+                for batch in gen:
                     progress.update(batch.n)
                     codes, lengths = batch.codes, batch.lengths
                     if batch.n < self.batch_size:
