@@ -209,39 +209,55 @@ class Matcher:
         """
         pending = None
         nproc, pid = dist.process_count(), dist.process_index()
-        for res_idx, res in enumerate(resources):
-            if res_idx % nproc != pid:
-                continue        # another host's shard (file-level DP)
-            self._res_idx = res_idx
-            if not isinstance(res, StreamingResource):
-                res = StreamingResource(res)
-            fasta = res.type_hint == "fasta"
-            packer = BatchPacker(self.batch_size, with_probs=self.with_probs,
-                                 long_threshold=self.long_read_threshold)
-            with res.open() as stream:
+
+        def all_batches():
+            """Tagged (res_idx, progress, batch|None) across this process's
+            resource shard; None closes a resource's progress. Running this
+            on the feeder thread means resource i+1's open + decompress +
+            parse overlap resource i's device steps (no inter-file stall;
+            ref: the reference keeps its consumer pool busy across files,
+            AbstractLoggingFastqStreamer.processFastqStreams:95-140)."""
+            for res_idx, res in enumerate(resources):
+                if res_idx % nproc != pid:
+                    continue        # another host's shard (file-level DP)
+                if not isinstance(res, StreamingResource):
+                    res = StreamingResource(res)
+                fasta = res.type_hint == "fasta"
+                packer = BatchPacker(self.batch_size,
+                                     with_probs=self.with_probs,
+                                     long_threshold=self.long_read_threshold)
                 progress = Progress(f"match {res.name}", res,
                                     enabled=self.progress,
                                     interval_ms=self.progress_interval_ms)
-                src = (ReadAhead(stream) if self.threads != 0 else stream)
-                gen = parse_reads(src, packer, fasta)
-                if self.threads != 0:
-                    gen = batch_feeder(gen, prefetch=4)
-                for batch in gen:
-                    if batch.is_long and not self.cfg.classify:
-                        # chunked long-read path (host-merged stats); keep
-                        # output order by finalizing the pending batch first
-                        if pending is not None:
-                            self._finalize_batch(*pending, filtered_out, kraken_out)
-                            pending = None
-                        self._match_long_read(batch, filtered_out, kraken_out)
-                        progress.update(1)
-                        continue
-                    out = self._dispatch_batch(batch, kraken_out is not None)
-                    if pending is not None:
-                        self._finalize_batch(*pending, filtered_out, kraken_out)
-                    pending = (batch, out)
-                    progress.update(batch.n)
+                with res.open() as stream:
+                    src = (ReadAhead(stream) if self.threads != 0
+                           else stream)
+                    for batch in parse_reads(src, packer, fasta):
+                        yield res_idx, progress, batch
+                yield res_idx, progress, None
+
+        gen = all_batches()
+        if self.threads != 0:
+            gen = batch_feeder(gen, prefetch=4)
+        for res_idx, progress, batch in gen:
+            if batch is None:
                 progress.done()
+                continue
+            self._res_idx = res_idx
+            if batch.is_long and not self.cfg.classify:
+                # chunked long-read path (host-merged stats); keep
+                # output order by finalizing the pending batch first
+                if pending is not None:
+                    self._finalize_batch(*pending, filtered_out, kraken_out)
+                    pending = None
+                self._match_long_read(batch, filtered_out, kraken_out)
+                progress.update(1)
+                continue
+            out = self._dispatch_batch(batch, kraken_out is not None)
+            if pending is not None:
+                self._finalize_batch(*pending, filtered_out, kraken_out)
+            pending = (batch, out)
+            progress.update(batch.n)
         if pending is not None:
             self._finalize_batch(*pending, filtered_out, kraken_out)
         return self._build_result()
