@@ -73,6 +73,11 @@ def build_world(tmp: Path):
 
 def write_shards(tmp: Path, genome) -> list:
     import gzip
+    if (tmp / "shards.done").exists():
+        # already written by an earlier run in this tmp (the single-process
+        # reference run precedes the 2-process one) — rewriting here would
+        # race with the other process reading them
+        return [str(tmp / f"shard{i}.fastq.gz") for i in range(N_FILES)]
     rng = np.random.default_rng(SEED + 1)
     base_map = np.frombuffer(b"ACGT", np.uint8)
     files = []
@@ -89,6 +94,7 @@ def write_shards(tmp: Path, genome) -> list:
                 f.write(base_map[codes].tobytes())
                 f.write(b"\n+\n" + b"I" * READ_LEN + b"\n")
         files.append(str(p))
+    (tmp / "shards.done").write_text("ok\n")
     return files
 
 
@@ -104,12 +110,12 @@ def run_match(tmp: Path, out_npz: Path):
     files = write_shards(tmp, genome) if dist.process_index() == 0 else None
     if files is None:
         files = [str(tmp / f"shard{i}.fastq.gz") for i in range(N_FILES)]
-    # barrier-by-poll: wait until process 0 wrote the files
-    for f in files:
-        for _ in range(600):
-            if os.path.exists(f):
-                break
-            time.sleep(0.1)
+    # barrier-by-poll on the completion marker (file existence alone could
+    # observe a half-written shard)
+    for _ in range(600):
+        if (tmp / "shards.done").exists():
+            break
+        time.sleep(0.1)
     m = Matcher(table, tree, MatchConfig(k=K), db_md5="mh", batch_size=256)
     m.progress = False
     if os.environ.get("MH_DEBUG"):
