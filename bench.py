@@ -153,7 +153,8 @@ def cache_dir_for(args) -> str:
         "GENESTRIP_BENCH_CACHE",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache"))
-    tag = f"w{args.db_bp}_{args.taxa}_k31_s7_r{args.e2e_reads}_h{args.hostin_reads}"
+    tag = (f"w{args.db_bp}_{args.taxa}_k31_s7_r{args.e2e_reads}"
+           f"_h{args.hostin_reads}_l{args.read_len}_f{args.hit_frac}")
     return os.path.join(base, tag)
 
 
