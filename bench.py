@@ -238,24 +238,18 @@ class World:
 
     def match_arrays(self):
         """(sa, spec, anc) device arrays straight from the cache — no table
-        object, no hash build (mirrors match/pipeline.build_match_arrays)."""
+        object, no hash build; vaux comes from the production helper so the
+        bench always measures the production layout."""
         import jax.numpy as jnp
-        from genestrip_tpu.match.pipeline import TableSpec
+        from genestrip_tpu.match.pipeline import TableSpec, vaux_from_nov
 
-        tree, nov = self.tree, self.nov
-        nv = len(nov)
-        safe = np.maximum(nov, 0)
-        vaux = np.zeros((nv + 1, 4), np.int32)
-        vaux[:nv, 0] = nov
-        vaux[:nv, 1] = np.where(nov >= 0, tree.tout[safe], 0)
-        vaux[:nv, 2] = np.where(nov >= 0, tree.depth[safe], 0)
-        vaux[nv] = (-1, 0, 0, 0)
+        vaux = vaux_from_nov(self.nov, self.tree)
         nb_bits = self.meta["nb_bits"]
         n_slots = self.meta["n_slots"]
         sa = {"rows": jnp.asarray(np.ascontiguousarray(self.rows_np)),
               "vaux": jnp.asarray(vaux), "n": n_slots, "nb_bits": nb_bits}
         return sa, TableSpec(n_slots, nb_bits), jnp.asarray(
-            tree.ancestor_at_depth)
+            self.tree.ancestor_at_depth)
 
 
 def _write_bench_fastq(fq, codes, read_len):
@@ -308,7 +302,10 @@ def phase_device(args):
     lengths = jnp.full((B,), args.read_len, jnp.int32)
     bounds = jnp.asarray(error_bounds(
         np.full(B, args.read_len, np.int32), k, cfg))
-    staged_d = jnp.asarray(staged)
+    # one device array PER batch: indexing a single [n_batches, B, L] device
+    # array per step inserts a device slice op that measured ~2-3x the whole
+    # match step (52M vs 18-25M reads/s once removed)
+    staged_d = [jnp.asarray(staged[i]) for i in range(n_batches)]
     seen = jnp.zeros(spec.n + 1, jnp.uint8)
     counts = jnp.zeros(1, jnp.int32)
 
@@ -445,8 +442,8 @@ def _host_input_rate(fq: str, B: int, cores=None) -> float:
     t0 = time.time()
     n = 0
     packer = BatchPacker(B)
-    with gzip.open(fq, "rb") as f:
-        for b_ in parse_fastq_blocks(ReadAhead(f), packer):
+    with gzip.open(fq, "rb") as f, ReadAhead(f) as src:
+        for b_ in parse_fastq_blocks(src, packer):
             n += b_.n
     return n / (time.time() - t0)
 
@@ -458,6 +455,10 @@ def _pinned_host_worker(fq, B, core, q, barrier):
     os.sched_setaffinity(0, {core})
     barrier.wait()
     q.put(_host_input_rate(fq, B))
+
+
+def _allowed_cores():
+    return sorted(os.sched_getaffinity(0))
 
 
 def phase_e2e(args):
@@ -481,18 +482,19 @@ def phase_e2e(args):
     # own stream — the product's multi-file/multi-host scaling unit. The
     # per-stream pipeline is gzip-decompress-bound (~1.2M reads/s/stream
     # single-member gzip, measured); scaling is linear in cores.
-    ncpu = len(os.sched_getaffinity(0))
+    cores = _allowed_cores()         # the allowed set may not be {0..n-1}
+    ncpu = len(cores)
     nw = min(max(ncpu, 1), 8)
     if nw >= 2:
         ctx = mp.get_context("spawn")
         qq = ctx.Queue()
         barrier = ctx.Barrier(nw)
         ps = [ctx.Process(target=_pinned_host_worker,
-                          args=(fqh, B, i % ncpu, qq, barrier))
+                          args=(fqh, B, cores[i % ncpu], qq, barrier))
               for i in range(nw)]
         for p_ in ps:
             p_.start()
-        rates = [qq.get() for _ in ps]
+        rates = [qq.get(timeout=120) for _ in ps]
         for p_ in ps:
             p_.join()
         agg = sum(rates)     # concurrent post-barrier rates; startup excluded
@@ -552,15 +554,17 @@ def phase_shard(args):
     bounds = jax.device_put(error_bounds(
         np.full(B, args.read_len, np.int32), w.meta["k"], cfg), bsh)
     seen, counts = mesh_mod.unique_state(spec.n, mesh, False)
-    staged_d = jax.device_put(staged[0], bsh)
-    out = step(rows, vaux, anc, staged_d, lengths, bounds, seen, counts)
+    # pre-stage all batches on device, exactly like phase_device — the
+    # metric must isolate the sharded GRAPH's overhead, not per-step h2d
+    staged_d = [jax.device_put(staged[i], bsh) for i in range(n_batches)]
+    out = step(rows, vaux, anc, staged_d[0], lengths, bounds, seen, counts)
     seen, counts = out["seen"], out["counts"]
     jax.block_until_ready(out["class_node"])
     rps = 0.0
-    for rep in range(2):
+    for rep in range(3):
         t0 = time.time()
         for i in range(n_batches):
-            out = step(rows, vaux, anc, jax.device_put(staged[i], bsh),
+            out = step(rows, vaux, anc, staged_d[i],
                        lengths, bounds, seen, counts)
             seen, counts = out["seen"], out["counts"]
             jax.block_until_ready(out["class_node"])

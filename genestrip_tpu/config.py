@@ -146,10 +146,12 @@ _KEYS = [
     # the device mesh when it exceeds dbShardMinBytes ("auto"), always
     # ("on") or never ("off") — SURVEY §5.8, the radix-bits-as-shard-key
     # design (ref role: store/RadixKMerStore.java:38-88). Measured on v5e
-    # (BENCH r5 "sharded-DB" metric): the all-gather/psum sharded graph
-    # runs ~2-3x slower than the replicated one, so "auto" prefers
-    # replication until the table approaches HBM capacity (4 GiB of rows
-    # leaves headroom on 16 GiB chips).
+    # (BENCH r5 "sharded-DB" metric): on one chip the all-gather/psum
+    # sharded graph runs within ~1.5x of the replicated one (both
+    # 50-80M reads/s, inside tunnel measurement jitter); replication
+    # avoids the collectives entirely, so "auto" prefers it until the
+    # table approaches HBM capacity (4 GiB of rows leaves headroom on
+    # 16 GiB chips).
     Key("dbShard", "str", "auto"),
     Key("dbShardMinBytes", "int", 4 << 30, 1),
     Key("dbBuildChunkKMers", "int", 1 << 24, 1 << 16),

@@ -122,24 +122,26 @@ class ReadAhead:
         self._thread.start()
 
     def _run(self, stream, chunk):
+        def put_until_closed(item):
+            # bounded put that re-checks close, so an abandoned consumer
+            # cannot pin the producer (and the underlying file) forever
+            while not self._closed.is_set():
+                try:
+                    self._q.put(item, timeout=0.2)
+                    return
+                except Exception:   # queue.Full
+                    continue
+
         try:
             while not self._closed.is_set():
                 c = stream.read(chunk)
-                # bounded put that re-checks close, so an abandoned consumer
-                # cannot pin the producer (and the underlying file) forever
-                while not self._closed.is_set():
-                    try:
-                        self._q.put(c, timeout=0.2)
-                        break
-                    except Exception:   # queue.Full
-                        continue
+                put_until_closed(c)
                 if not c:
                     return
         except BaseException as e:     # noqa: BLE001 — re-raised on consumer
-            try:
-                self._q.put_nowait(e)
-            except Exception:
-                pass
+            # must use the same blocking put: a put_nowait on a full queue
+            # would DROP the error and leave the consumer waiting forever
+            put_until_closed(e)
 
     def close(self) -> None:
         """Stop the producer thread (idempotent); pending chunks are dropped."""

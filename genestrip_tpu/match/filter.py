@@ -69,36 +69,39 @@ class FastqFilter:
                 # decompress + parse/pack overlap the device steps, as in
                 # the matcher (ref producer/consumer contract,
                 # fastq/AbstractFastqReader.java:88-118)
-                gen = batch_feeder(
-                    parse_reads(ReadAhead(stream), packer, fasta),
-                    prefetch=4)
-                for batch in gen:
-                    progress.update(batch.n)
-                    codes, lengths = batch.codes, batch.lengths
-                    if batch.n < self.batch_size:
-                        pad = self.batch_size - batch.n
-                        codes = np.concatenate(
-                            [codes, np.full((pad, codes.shape[1]), 255, np.uint8)])
-                        lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
-                    thr = filter_thresholds(lengths, self.index.k,
-                                            self.min_pos_count, self.pos_ratio)
-                    acc = np.asarray(filter_step(
-                        self.index.k, d["nb_bits"],
-                        d["rows"], jnp.asarray(codes), jnp.asarray(lengths),
-                        jnp.asarray(thr)))
-                    self.total += batch.n
-                    for b in range(batch.n):
-                        out = filtered_out if acc[b] else dumped_out
-                        if acc[b]:
-                            self.accepted += 1
-                        if out is not None:
-                            out.write(batch.descriptors[b])
-                            out.write(b"\n")
-                            out.write(batch.seqs[b])
-                            out.write(b"\n+\n")
-                            if batch.probs is not None and batch.probs[b]:
-                                out.write(batch.probs[b])
-                            else:
-                                out.write(b"~" * len(batch.seqs[b]))
-                            out.write(b"\n")
+                src = ReadAhead(stream)
+                try:
+                    gen = batch_feeder(parse_reads(src, packer, fasta),
+                                       prefetch=4)
+                    for batch in gen:
+                        progress.update(batch.n)
+                        codes, lengths = batch.codes, batch.lengths
+                        if batch.n < self.batch_size:
+                            pad = self.batch_size - batch.n
+                            codes = np.concatenate(
+                                [codes, np.full((pad, codes.shape[1]), 255, np.uint8)])
+                            lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+                        thr = filter_thresholds(lengths, self.index.k,
+                                                self.min_pos_count, self.pos_ratio)
+                        acc = np.asarray(filter_step(
+                            self.index.k, d["nb_bits"],
+                            d["rows"], jnp.asarray(codes), jnp.asarray(lengths),
+                            jnp.asarray(thr)))
+                        self.total += batch.n
+                        for b in range(batch.n):
+                            out = filtered_out if acc[b] else dumped_out
+                            if acc[b]:
+                                self.accepted += 1
+                            if out is not None:
+                                out.write(batch.descriptors[b])
+                                out.write(b"\n")
+                                out.write(batch.seqs[b])
+                                out.write(b"\n+\n")
+                                if batch.probs is not None and batch.probs[b]:
+                                    out.write(batch.probs[b])
+                                else:
+                                    out.write(b"~" * len(batch.seqs[b]))
+                                out.write(b"\n")
+                finally:
+                    src.close()   # stop the read-ahead thread
                 progress.done()

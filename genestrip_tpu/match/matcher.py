@@ -232,8 +232,12 @@ class Matcher:
                 with res.open() as stream:
                     src = (ReadAhead(stream) if self.threads != 0
                            else stream)
-                    for batch in parse_reads(src, packer, fasta):
-                        yield res_idx, progress, batch
+                    try:
+                        for batch in parse_reads(src, packer, fasta):
+                            yield res_idx, progress, batch
+                    finally:
+                        if src is not stream:
+                            src.close()   # stop the read-ahead thread
                 yield res_idx, progress, None
 
         gen = all_batches()

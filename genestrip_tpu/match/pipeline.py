@@ -142,6 +142,21 @@ class TableSpec:
     nb_bits: int
 
 
+def vaux_from_nov(nov: np.ndarray, tree) -> np.ndarray:
+    """The small [n_values + 1, 4] value-indexed aux table of
+    (node, tout(node), depth(node), pad) with a trailing miss row — shared
+    by build_match_arrays and the benchmark's cached-world loader so both
+    always measure the production layout."""
+    nv = len(nov)
+    safe = np.maximum(nov, 0)
+    vaux = np.zeros((nv + 1, 4), np.int32)
+    vaux[:nv, 0] = nov
+    vaux[:nv, 1] = np.where(nov >= 0, tree.tout[safe], 0)
+    vaux[:nv, 2] = np.where(nov >= 0, tree.depth[safe], 0)
+    vaux[nv] = (-1, 0, 0, 0)   # miss row
+    return vaux
+
+
 def build_match_arrays(table, tree, ht=None):
     """Device lookup arrays for matching + their TableSpec.
 
@@ -159,13 +174,7 @@ def build_match_arrays(table, tree, ht=None):
     if ht is None:
         ht = build_hash(table.keys, table.value_idx)
     nov = tree.node_of_value(table).astype(np.int32)
-    nv = len(nov)
-    safe = np.maximum(nov, 0)
-    vaux = np.zeros((nv + 1, 4), np.int32)
-    vaux[:nv, 0] = nov
-    vaux[:nv, 1] = np.where(nov >= 0, tree.tout[safe], 0)
-    vaux[:nv, 2] = np.where(nov >= 0, tree.depth[safe], 0)
-    vaux[nv] = (-1, 0, 0, 0)   # miss row
+    vaux = vaux_from_nov(nov, tree)
     import jax.numpy as jnp
     sa = {"rows": jnp.asarray(ht.rows), "vaux": jnp.asarray(vaux),
           "vidx_of_slot": ht.vidx_of_slot, "n": ht.n_slots,

@@ -38,7 +38,23 @@ class Database:
         # matcher uses it to skip the hash build at load time. The reference
         # likewise serializes its store's internal layout + pre-filter
         # directly (ref: store/Database.java:201-250 db.ser/bloom.ser).
-        self.prebuilt_hash = None
+        # Loaded LAZILY from _hash_path: goals that never look k-mers up
+        # (dbinfo, svgtaxtree, showdbconf, ...) skip the ~400 MB read.
+        self._prebuilt_hash = None
+        self._hash_path = None
+
+    @property
+    def prebuilt_hash(self):
+        if self._prebuilt_hash is None and self._hash_path is not None:
+            path, self._hash_path = self._hash_path, None
+            self._prebuilt_hash = _read_hash_entry(
+                path, self.config_info.get(DB_MD5))
+        return self._prebuilt_hash
+
+    @prebuilt_hash.setter
+    def prebuilt_hash(self, ht):
+        self._prebuilt_hash = ht
+        self._hash_path = None
 
     def init_store_indices(self) -> None:
         """ref: Database.initStoreIndices — pre-order value-index assignment."""
@@ -82,11 +98,17 @@ class Database:
             z.writestr(TAXTREE_FILE, tree_bytes)
             z.writestr(CONFIG_INFO_FILE, _props_bytes(self.config_info))
             if include_hash:
-                if self.prebuilt_hash is None:
-                    from genestrip_tpu.store.hash import build_hash
-                    self.prebuilt_hash = build_hash(self.table.keys,
-                                                    self.table.value_idx)
                 ht = self.prebuilt_hash
+                # reuse an existing hash ONLY when its stamp matches the
+                # table being written: a hash loaded from disk and carried
+                # across a table mutation would otherwise be re-stamped
+                # with the new MD5, defeating the staleness guard
+                if (ht is None or getattr(ht, "db_md5_stamp", None)
+                        != self.config_info[DB_MD5]):
+                    from genestrip_tpu.store.hash import build_hash
+                    ht = build_hash(self.table.keys, self.table.value_idx)
+                    ht.db_md5_stamp = self.config_info[DB_MD5]
+                    self.prebuilt_hash = ht
                 hbuf = io.BytesIO()
                 np.savez(hbuf, rows=ht.rows,
                          nb_bits=np.int64(ht.nb_bits),
@@ -105,23 +127,10 @@ class Database:
             table = KmerTable.load_npz(io.BytesIO(z.read(TABLE_FILE)))
             tree = SmallTaxTree.from_json(z.read(TAXTREE_FILE).decode())
             config_info = _parse_props(z.read(CONFIG_INFO_FILE).decode())
-            prebuilt = None
-            if HASH_FILE in z.namelist():
-                from genestrip_tpu.store.hash import (
-                    KmerHashTable, vidx_of_slot_from_rows)
-                with np.load(io.BytesIO(z.read(HASH_FILE))) as h:
-                    stamp = str(h["db_md5"]) if "db_md5" in h else None
-                    if stamp == config_info.get(DB_MD5):
-                        rows = h["rows"]
-                        nb_bits = int(h["nb_bits"])
-                        soe = h["slot_of_entry"]
-                        prebuilt = KmerHashTable(
-                            rows, nb_bits, soe,
-                            vidx_of_slot_from_rows(rows, nb_bits))
-                    # else: stale derived data (table edited without a
-                    # re-save) — fall back to building the hash at use
+            has_hash = HASH_FILE in z.namelist()
         db = Database(table, tree, config_info)
-        db.prebuilt_hash = prebuilt
+        if has_hash:
+            db._hash_path = path          # parsed lazily on first use
         db.init_store_indices()
         return db
 
@@ -129,6 +138,28 @@ class Database:
     def load_config_info(path) -> dict:
         with zipfile.ZipFile(path, "r") as z:
             return _parse_props(z.read(CONFIG_INFO_FILE).decode())
+
+
+def _read_hash_entry(path, want_md5):
+    """Parse HASH_FILE from a db zip; None when absent or when the stamp
+    mismatches `want_md5` (stale derived data — table edited without a
+    re-save; the caller then rebuilds the hash at use)."""
+    from genestrip_tpu.store.hash import (
+        KmerHashTable, vidx_of_slot_from_rows)
+    with zipfile.ZipFile(path, "r") as z:
+        if HASH_FILE not in z.namelist():
+            return None
+        with np.load(io.BytesIO(z.read(HASH_FILE))) as h:
+            stamp = str(h["db_md5"]) if "db_md5" in h else None
+            if stamp != want_md5:
+                return None
+            rows = h["rows"]
+            nb_bits = int(h["nb_bits"])
+            soe = h["slot_of_entry"]
+    ht = KmerHashTable(rows, nb_bits, soe,
+                       vidx_of_slot_from_rows(rows, nb_bits))
+    ht.db_md5_stamp = stamp
+    return ht
 
 
 def _props_bytes(props: dict) -> bytes:

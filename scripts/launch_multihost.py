@@ -49,24 +49,11 @@ def _fair_env(env):
 
 
 def build_world(tmp: Path):
-    """Deterministic world: every process builds the identical table/tree."""
-    from bench import build_tax
-    from genestrip_tpu.ops.kmer import window_kmers_np
-    from genestrip_tpu.store.table import TableBuilder
+    """Deterministic world: every process builds the identical table/tree
+    (bench.build_world is the single synthetic-world recipe)."""
+    import bench
 
-    rng = np.random.default_rng(SEED)
-    genome = rng.integers(0, 4, 200_000, dtype=np.int64).astype(np.uint8)
-    kmers, valid = window_kmers_np(genome, K)
-    kmers = kmers[valid]
-    b = TableBuilder(K)
-    n_taxa = 16
-    bounds = np.linspace(0, len(kmers), n_taxa + 1).astype(np.int64)
-    for t in range(n_taxa):
-        b.add(kmers[bounds[t]:bounds[t + 1]], str(1000 + t))
-    table = b.build()
-    tree, node_of_value = build_tax(n_taxa)
-    nov = np.full(table.n_values, -1, np.int32)
-    nov[: len(node_of_value)] = node_of_value
+    table, tree, nov, genome = bench.build_world(200_000, 16, seed=SEED, k=K)
     tree.node_of_value = lambda tb: nov
     return table, tree, genome
 
