@@ -319,6 +319,10 @@ def phase_device(args):
     # Block every step (dispatch queue pileup over the tunnel skews the
     # measurement); report the best of three passes (per-step RTT jitter
     # over the tunnel gives run-to-run variance well beyond device noise).
+    # NOTE: a lax.scan over the batch sequence was tried as a single-
+    # dispatch measurement and REJECTED — the scan lowering de-optimizes
+    # this body catastrophically (~0.7 s/iteration vs 0.1 ms unrolled),
+    # so stepwise-with-blocking remains the honest measure.
     rps = 0.0
     for rep in range(3):
         t0 = time.time()
