@@ -31,7 +31,7 @@ sys.path.insert(0, str(ROOT))
 import numpy as np
 
 N_FILES = 8
-N_READS = 3000         # per file
+N_READS = 6000         # per file
 READ_LEN = 120
 K = 21
 SEED = 424242
