@@ -302,10 +302,15 @@ def phase_device(args):
     lengths = jnp.full((B,), args.read_len, jnp.int32)
     bounds = jnp.asarray(error_bounds(
         np.full(B, args.read_len, np.int32), k, cfg))
-    # one device array PER batch: indexing a single [n_batches, B, L] device
-    # array per step inserts a device slice op that measured ~2-3x the whole
-    # match step (52M vs 18-25M reads/s once removed)
-    staged_d = [jnp.asarray(staged[i]) for i in range(n_batches)]
+    # ONE bulk h2d upload, then split into per-batch device arrays on the
+    # device (outside the timed loop). Two constraints meet here: indexing
+    # the big array per STEP costs ~2-3x the whole match step (so the split
+    # must happen up front), and uploading 64 separate arrays can take
+    # minutes when the tunnel h2d degrades (observed timing out the phase).
+    staged_big = jnp.asarray(staged)
+    staged_d = [jax.block_until_ready(staged_big[i])
+                for i in range(n_batches)]
+    del staged_big
     seen = jnp.zeros(spec.n + 1, jnp.uint8)
     counts = jnp.zeros(1, jnp.int32)
 
@@ -558,9 +563,14 @@ def phase_shard(args):
     bounds = jax.device_put(error_bounds(
         np.full(B, args.read_len, np.int32), w.meta["k"], cfg), bsh)
     seen, counts = mesh_mod.unique_state(spec.n, mesh, False)
-    # pre-stage all batches on device, exactly like phase_device — the
-    # metric must isolate the sharded GRAPH's overhead, not per-step h2d
-    staged_d = [jax.device_put(staged[i], bsh) for i in range(n_batches)]
+    # pre-stage all batches on device, exactly like phase_device (one bulk
+    # upload + on-device split) — the metric must isolate the sharded
+    # GRAPH's overhead, not per-step h2d
+    staged_big = jax.device_put(staged, NamedSharding(
+        mesh, P(None, "reads")))
+    staged_d = [jax.block_until_ready(
+        jax.device_put(staged_big[i], bsh)) for i in range(n_batches)]
+    del staged_big
     out = step(rows, vaux, anc, staged_d[0], lengths, bounds, seen, counts)
     seen, counts = out["seen"], out["counts"]
     jax.block_until_ready(out["class_node"])
@@ -670,7 +680,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--db-bp", type=int, default=16_000_000)
     ap.add_argument("--taxa", type=int, default=256)
-    ap.add_argument("--reads", type=int, default=512 * 1024)
+    ap.add_argument("--reads", type=int, default=256 * 1024)
     ap.add_argument("--read-len", type=int, default=150)
     ap.add_argument("--batch", type=int, default=8192)
     ap.add_argument("--hit-frac", type=float, default=0.5)
@@ -694,14 +704,10 @@ def main():
     t_start = time.time()
     headline_line = None
     passthrough = [a for a in sys.argv[1:]]
-    for ph, tmo in PHASE_PLAN:
-        if ph in args.skip:
-            continue
+
+    def run_phase(ph, tmo):
+        nonlocal headline_line
         left = args.total_budget - (time.time() - t_start)
-        if ph != "cache" and headline_line is not None and left < 60:
-            print(f"# global budget exhausted before phase {ph} - skipping",
-                  file=sys.stderr, flush=True)
-            continue
         cmd = [sys.executable, os.path.abspath(__file__),
                "--phase", ph] + passthrough
         env = dict(os.environ)
@@ -712,27 +718,42 @@ def main():
             r = subprocess.run(cmd, timeout=min(tmo, max(left, 60)),
                                env=env, capture_output=True, text=True)
             sys.stderr.write(r.stderr[-2000:] if r.stderr else "")
-            for line in (r.stdout or "").splitlines():
-                if not line.strip():
-                    continue
-                print(line, flush=True)
-                if HEADLINE_METRIC in line and line.lstrip().startswith("{"):
-                    headline_line = line
-            if r.returncode != 0:
-                print(f"# phase {ph} exited with {r.returncode}",
-                      file=sys.stderr, flush=True)
+            out = r.stdout or ""
+            rc = r.returncode
         except subprocess.TimeoutExpired as e:
             out = e.stdout or ""
             if isinstance(out, bytes):
                 out = out.decode(errors="replace")
-            for line in out.splitlines():
-                if line.strip():
-                    print(line, flush=True)
-                    if (HEADLINE_METRIC in line
-                            and line.lstrip().startswith("{")):
-                        headline_line = line
+            rc = "timeout"
+        for line in out.splitlines():
+            if not line.strip():
+                continue
+            print(line, flush=True)
+            if HEADLINE_METRIC in line and line.lstrip().startswith("{"):
+                headline_line = line
+        if rc == "timeout":
             print(f"# phase {ph} timed out (tunnel wedge?) - skipping",
                   file=sys.stderr, flush=True)
+        elif rc != 0:
+            print(f"# phase {ph} exited with {rc}",
+                  file=sys.stderr, flush=True)
+
+    for ph, tmo in PHASE_PLAN:
+        if ph in args.skip:
+            continue
+        left = args.total_budget - (time.time() - t_start)
+        if ph != "cache" and headline_line is not None and left < 60:
+            print(f"# global budget exhausted before phase {ph} - skipping",
+                  file=sys.stderr, flush=True)
+            continue
+        run_phase(ph, tmo)
+        if ph == "device" and headline_line is None:
+            # the headline is the one metric that must land: a transient
+            # tunnel wedge (observed) can kill the first attempt — retry
+            # once in a fresh subprocess before moving on
+            print("# headline missing - retrying device phase once",
+                  file=sys.stderr, flush=True)
+            run_phase(ph, tmo)
         # keep the headline as the LAST stdout line at every point in time
         if headline_line is not None and ph != "device":
             print(headline_line, flush=True)
