@@ -93,6 +93,19 @@ class StreamingResource:
         self.counter = ByteCountingRaw(raw)
         buffered = io.BufferedReader(self.counter, buffer_size=1 << 20)
         if gz:
+            # BGZF (bgzip'd) files decompress in parallel — the inflate is
+            # the host pipeline's single-stream ceiling (io/bgzf.py). Only
+            # engaged with >2 usable cores: measured on a 2-core host the
+            # pool threads merely contend with the read-ahead + parser
+            # threads (703k vs 763k reads/s), while GzipFile reads BGZF
+            # fine serially.
+            from genestrip_tpu.io.bgzf import is_bgzf_header, open_bgzf
+            try:
+                ncpu = len(os.sched_getaffinity(0))
+            except AttributeError:     # non-Linux
+                ncpu = os.cpu_count() or 1
+            if ncpu > 2 and is_bgzf_header(buffered.peek(18)[:18]):
+                return open_bgzf(buffered, threads=min(ncpu - 2, 8))
             return io.BufferedReader(gzip.GzipFile(fileobj=buffered), buffer_size=1 << 20)
         return buffered
 
